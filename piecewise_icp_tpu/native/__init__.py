@@ -1,0 +1,127 @@
+"""ctypes loader for the native host runtime (``pwicp_host.cpp``).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source; the binding style intentionally mirrors the reference's Python layer
+(python/main.py:9-18 loads a prebuilt DLL via ctypes), but here the source
+ships with the package and compiles anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SRC = _HERE / "pwicp_host.cpp"
+_LIB = _HERE / "libpwicp_host.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_LIB)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", str(e))
+        raise NativeBuildError(f"native build failed: {msg}") from e
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        stale = (not _LIB.exists()
+                 or _LIB.stat().st_mtime < _SRC.stat().st_mtime)
+        if stale:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.pwicp_knn_graph.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int32)]
+        lib.pwicp_knn_graph.restype = ctypes.c_int
+        lib.pwicp_grid_sample_count.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double]
+        lib.pwicp_grid_sample_count.restype = ctypes.c_int
+        lib.pwicp_supervoxel_segment.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.pwicp_supervoxel_segment.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeBuildError:
+        return False
+
+
+def _c_f32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _c_i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def knn_graph(points: np.ndarray, k: int,
+              cell_size: float = -1.0) -> np.ndarray:
+    """Exact kNN indices ``[N, k]`` (self included, sorted by distance).
+
+    Host equivalent of cl::KDTree::FindKNearestNeighbors as used for the
+    45-NN normal/segmentation graph (Segmentation.cpp:37-45).
+    """
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    out = np.empty((n, k), dtype=np.int32)
+    rc = load().pwicp_knn_graph(_c_f32(pts), n, k, cell_size, _c_i32(out))
+    if rc != 0:
+        raise RuntimeError(f"pwicp_knn_graph failed: rc={rc}")
+    return out
+
+
+def grid_sample_count(points: np.ndarray, resolution: float) -> int:
+    """Number of occupied voxels at ``resolution`` — the supervoxel seed
+    count K (grid_sample.h:49-75)."""
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    return int(load().pwicp_grid_sample_count(_c_f32(pts), pts.shape[0],
+                                              resolution))
+
+
+def supervoxel_segment(points: np.ndarray, normals: np.ndarray,
+                       neighbors: np.ndarray, resolution: float,
+                       n_supervoxels: int = -1) -> tuple[np.ndarray, int]:
+    """Segment into supervoxels; returns (labels [N] int32, count).
+
+    Native equivalent of SupervoxelSegmentation
+    (supervoxel_segmentation.h:66-248) with the VCCS metric.
+    """
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    nrm = np.ascontiguousarray(normals, dtype=np.float32)
+    nbr = np.ascontiguousarray(neighbors, dtype=np.int32)
+    n, k = nbr.shape
+    assert pts.shape == (n, 3) and nrm.shape == (n, 3)
+    labels = np.empty((n,), dtype=np.int32)
+    nsv = load().pwicp_supervoxel_segment(
+        _c_f32(pts), _c_f32(nrm), _c_i32(nbr), n, k,
+        resolution, n_supervoxels, _c_i32(labels))
+    if nsv < 0:
+        raise RuntimeError("pwicp_supervoxel_segment failed")
+    return labels, int(nsv)

@@ -1,0 +1,429 @@
+// pwicp_host — native host runtime for the TPU Piecewise-ICP framework.
+//
+// The TPU handles every O(N) dense computation (NN queries, normals, patch
+// statistics, ICP normal equations).  This library provides the host-side
+// components that are inherently sequential or pointer-chasing and that the
+// reference implements natively in C++ (via PCL/codelibrary):
+//
+//   * exact k-nearest-neighbour graph over a uniform grid
+//     (reference: cl::KDTree, codelibrary/util/tree/kd_tree.h)
+//   * grid-sample seed counting
+//     (reference: GridSample, codelibrary/geometry/point_cloud/grid_sample.h)
+//   * energy-minimising supervoxel segmentation: greedy fusion over a
+//     disjoint set with lambda doubling, followed by queue-based boundary
+//     refinement (reference: SupervoxelSegmentation,
+//     codelibrary/geometry/point_cloud/supervoxel_segmentation.h:66-248,
+//     with the VCCS metric of include/Segmentation.h:362-375)
+//
+// Exposed as a C ABI consumed through ctypes (the same binding style as the
+// reference's python/main.py DLL interface).
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 pwicp_host.cpp -o libpwicp_host.so
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <numeric>
+#include <queue>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+    double x, y, z;
+};
+
+inline double sqdist(const Vec3& a, const Vec3& b) {
+    const double dx = a.x - b.x, dy = a.y - b.y, dz = a.z - b.z;
+    return dx * dx + dy * dy + dz * dz;
+}
+
+// ---------------------------------------------------------------------------
+// Uniform grid for exact kNN.
+// ---------------------------------------------------------------------------
+class UniformGrid {
+  public:
+    UniformGrid(const float* pts, int n, double cell) : n_(n), cell_(cell) {
+        pts_.resize(n);
+        double mn[3] = {DBL_MAX, DBL_MAX, DBL_MAX};
+        double mx[3] = {-DBL_MAX, -DBL_MAX, -DBL_MAX};
+        for (int i = 0; i < n; ++i) {
+            pts_[i] = {pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+            const double c[3] = {pts_[i].x, pts_[i].y, pts_[i].z};
+            for (int d = 0; d < 3; ++d) {
+                mn[d] = std::min(mn[d], c[d]);
+                mx[d] = std::max(mx[d], c[d]);
+            }
+        }
+        for (int d = 0; d < 3; ++d) {
+            origin_[d] = mn[d];
+            dims_[d] = std::max<int64_t>(
+                1, static_cast<int64_t>((mx[d] - mn[d]) / cell_) + 1);
+        }
+        // CSR bucketing: counting sort of point ids by cell id.
+        const int64_t n_cells = dims_[0] * dims_[1] * dims_[2];
+        cell_of_.resize(n);
+        start_.assign(n_cells + 1, 0);
+        for (int i = 0; i < n; ++i) {
+            cell_of_[i] = cell_id(pts_[i]);
+            ++start_[cell_of_[i] + 1];
+        }
+        for (int64_t c = 0; c < n_cells; ++c) start_[c + 1] += start_[c];
+        order_.resize(n);
+        std::vector<int64_t> cursor(start_.begin(), start_.end() - 1);
+        for (int i = 0; i < n; ++i) order_[cursor[cell_of_[i]]++] = i;
+    }
+
+    int64_t cell_id(const Vec3& p) const {
+        int64_t ix = clampi((p.x - origin_[0]) / cell_, dims_[0]);
+        int64_t iy = clampi((p.y - origin_[1]) / cell_, dims_[1]);
+        int64_t iz = clampi((p.z - origin_[2]) / cell_, dims_[2]);
+        return (ix * dims_[1] + iy) * dims_[2] + iz;
+    }
+
+    // Exact kNN of query point index q (self included, like the reference's
+    // KD-tree search).  Results sorted ascending by distance.
+    void knn(int q, int k, int* out_idx) const {
+        const Vec3& p = pts_[q];
+        const int64_t ix = clampi((p.x - origin_[0]) / cell_, dims_[0]);
+        const int64_t iy = clampi((p.y - origin_[1]) / cell_, dims_[1]);
+        const int64_t iz = clampi((p.z - origin_[2]) / cell_, dims_[2]);
+
+        // max-heap of (dist2, idx), size <= k
+        std::vector<std::pair<double, int>> heap;
+        heap.reserve(k + 1);
+        auto push = [&](double d2, int idx) {
+            if ((int)heap.size() < k) {
+                heap.emplace_back(d2, idx);
+                std::push_heap(heap.begin(), heap.end());
+            } else if (d2 < heap.front().first) {
+                std::pop_heap(heap.begin(), heap.end());
+                heap.back() = {d2, idx};
+                std::push_heap(heap.begin(), heap.end());
+            }
+        };
+
+        const int64_t max_ring = std::max({dims_[0], dims_[1], dims_[2]});
+        for (int64_t ring = 0; ring <= max_ring; ++ring) {
+            // Shell lower bound: any point in a ring-r shell is at least
+            // (r-1)*cell away from the query.
+            if ((int)heap.size() == k) {
+                const double bound = (ring > 0 ? (ring - 1) * cell_ : 0.0);
+                if (bound * bound > heap.front().first) break;
+            }
+            bool any_cell = false;
+            const int64_t x0 = ix - ring, x1 = ix + ring;
+            const int64_t y0 = iy - ring, y1 = iy + ring;
+            const int64_t z0 = iz - ring, z1 = iz + ring;
+            for (int64_t cx = x0; cx <= x1; ++cx) {
+                if (cx < 0 || cx >= dims_[0]) continue;
+                for (int64_t cy = y0; cy <= y1; ++cy) {
+                    if (cy < 0 || cy >= dims_[1]) continue;
+                    for (int64_t cz = z0; cz <= z1; ++cz) {
+                        if (cz < 0 || cz >= dims_[2]) continue;
+                        // only the shell surface of the ring cube
+                        const bool on_shell =
+                            (cx == x0 || cx == x1 || cy == y0 || cy == y1 ||
+                             cz == z0 || cz == z1);
+                        if (!on_shell) continue;
+                        any_cell = true;
+                        const int64_t c = (cx * dims_[1] + cy) * dims_[2] + cz;
+                        for (int64_t s = start_[c]; s < start_[c + 1]; ++s) {
+                            const int j = order_[s];
+                            push(sqdist(p, pts_[j]), j);
+                        }
+                    }
+                }
+            }
+            if (!any_cell && ring > max_ring) break;
+        }
+        std::sort_heap(heap.begin(), heap.end());
+        const int found = (int)heap.size();
+        for (int i = 0; i < k; ++i)
+            out_idx[i] = (i < found) ? heap[i].second : -1;
+    }
+
+    const std::vector<Vec3>& points() const { return pts_; }
+
+  private:
+    static int64_t clampi(double v, int64_t hi) {
+        int64_t i = static_cast<int64_t>(v);
+        if (i < 0) i = 0;
+        if (i >= hi) i = hi - 1;
+        return i;
+    }
+
+    int n_;
+    double cell_;
+    double origin_[3];
+    int64_t dims_[3];
+    std::vector<Vec3> pts_;
+    std::vector<int64_t> cell_of_;
+    std::vector<int64_t> start_;
+    std::vector<int> order_;
+};
+
+// Pick a grid cell size giving ~4 points per cell on average.
+double auto_cell_size(const float* pts, int n) {
+    double mn[3] = {DBL_MAX, DBL_MAX, DBL_MAX};
+    double mx[3] = {-DBL_MAX, -DBL_MAX, -DBL_MAX};
+    for (int i = 0; i < n; ++i) {
+        for (int d = 0; d < 3; ++d) {
+            const double v = pts[3 * i + d];
+            mn[d] = std::min(mn[d], v);
+            mx[d] = std::max(mx[d], v);
+        }
+    }
+    double vol = 1.0;
+    for (int d = 0; d < 3; ++d) vol *= std::max(mx[d] - mn[d], 1e-9);
+    return std::cbrt(vol * 4.0 / std::max(n, 1));
+}
+
+struct DisjointSet {
+    std::vector<int> parent;
+    explicit DisjointSet(int n) : parent(n) {
+        std::iota(parent.begin(), parent.end(), 0);
+    }
+    int find(int i) {
+        while (i != parent[i]) {
+            parent[i] = parent[parent[i]];
+            i = parent[i];
+        }
+        return i;
+    }
+    // merge root i into root j (reference DisjointSet::Link semantics,
+    // disjoint_set.h:75-80)
+    void link(int i, int j) { parent[i] = j; }
+};
+
+// VCCS metric (include/Segmentation.h:362-375):
+//   d = 1 - |n1 . n2| + ||p1 - p2|| / resolution * 0.4
+struct VCCSMetric {
+    const Vec3* pts;
+    const float* normals;
+    double inv_res_04;
+    double operator()(int a, int b) const {
+        const double dot = normals[3 * a] * normals[3 * b] +
+                           normals[3 * a + 1] * normals[3 * b + 1] +
+                           normals[3 * a + 2] * normals[3 * b + 2];
+        return 1.0 - std::fabs(dot) +
+               std::sqrt(sqdist(pts[a], pts[b])) * inv_res_04;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Exact kNN graph (self included, ascending by distance).  Cell size < 0
+// selects an automatic density-based value.  Returns 0 on success.
+int pwicp_knn_graph(const float* points, int n, int k, double cell_size,
+                    int32_t* out_idx) {
+    if (n <= 0 || k <= 0) return 1;
+    const double cell = cell_size > 0 ? cell_size : auto_cell_size(points, n);
+    UniformGrid grid(points, n, cell);
+    for (int i = 0; i < n; ++i) grid.knn(i, k, out_idx + (int64_t)i * k);
+    return 0;
+}
+
+// Number of occupied voxels at the given resolution — the expected
+// supervoxel count K (GridSample semantics, grid_sample.h:49-75: grid sizes
+// int(len/res)+1 over the bounding box, coordinates clamped).
+int pwicp_grid_sample_count(const float* points, int n, double resolution) {
+    if (n <= 0 || resolution <= 0) return 0;
+    double mn[3] = {DBL_MAX, DBL_MAX, DBL_MAX};
+    double mx[3] = {-DBL_MAX, -DBL_MAX, -DBL_MAX};
+    for (int i = 0; i < n; ++i) {
+        for (int d = 0; d < 3; ++d) {
+            const double v = points[3 * i + d];
+            mn[d] = std::min(mn[d], v);
+            mx[d] = std::max(mx[d], v);
+        }
+    }
+    int64_t dims[3];
+    for (int d = 0; d < 3; ++d)
+        dims[d] = static_cast<int64_t>((mx[d] - mn[d]) / resolution) + 1;
+    std::vector<int64_t> cells(n);
+    for (int i = 0; i < n; ++i) {
+        int64_t id[3];
+        for (int d = 0; d < 3; ++d) {
+            int64_t c = static_cast<int64_t>(
+                (points[3 * i + d] - mn[d]) / resolution);
+            id[d] = std::min(std::max<int64_t>(c, 0), dims[d] - 1);
+        }
+        cells[i] = (id[0] * dims[1] + id[1]) * dims[2] + id[2];
+    }
+    std::sort(cells.begin(), cells.end());
+    return (int)(std::unique(cells.begin(), cells.end()) - cells.begin());
+}
+
+// Energy-minimising supervoxel segmentation.
+//
+// Semantics follow supervoxel_segmentation.h:66-248: start with every point
+// as its own supervoxel; grow regions greedily, merging neighbour j into
+// representative i whenever lambda > size_j * metric(i, j); double lambda
+// each round until the target count is reached; then refine boundaries by
+// re-assigning boundary points to the neighbouring representative with the
+// smallest metric distance; finally compact labels to [0, n_supervoxels).
+//
+// n_supervoxels <= 0 derives the target count from grid sampling at
+// `resolution`.  Returns the number of supervoxels, or -1 on error.
+int pwicp_supervoxel_segment(const float* points, const float* normals,
+                             const int32_t* neighbors, int n, int k,
+                             double resolution, int n_supervoxels,
+                             int32_t* out_labels) {
+    if (n <= 0 || k <= 0) return -1;
+    if (n_supervoxels <= 0)
+        n_supervoxels = pwicp_grid_sample_count(points, n, resolution);
+    if (n_supervoxels <= 0) return -1;
+
+    std::vector<Vec3> pts(n);
+    for (int i = 0; i < n; ++i)
+        pts[i] = {points[3 * i], points[3 * i + 1], points[3 * i + 2]};
+    VCCSMetric metric{pts.data(), normals, 0.4 / resolution};
+
+    auto nb = [&](int i, int j) { return neighbors[(int64_t)i * k + j]; };
+
+    // lambda init: median over points of the min metric distance to any
+    // neighbour (supervoxel_segmentation.h:105-113).
+    std::vector<double> dmin(n, DBL_MAX);
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j < k; ++j) {
+            const int v = nb(i, j);
+            if (v >= 0 && v != i) dmin[i] = std::min(dmin[i], metric(i, v));
+        }
+    }
+    std::vector<double> med = dmin;
+    std::nth_element(med.begin(), med.begin() + n / 2, med.end());
+    double lambda = std::max(DBL_EPSILON, med[n / 2]);
+
+    // --- Step 1: greedy fusion with lambda doubling ---
+    DisjointSet set(n);
+    std::vector<int> reps(n);
+    std::iota(reps.begin(), reps.end(), 0);
+    std::vector<int> sizes(n, 1);
+    std::vector<std::vector<int>> adj(n);
+    for (int i = 0; i < n; ++i) {
+        adj[i].reserve(k);
+        for (int j = 0; j < k; ++j) {
+            const int v = nb(i, j);
+            if (v >= 0) adj[i].push_back(v);
+        }
+    }
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int> queue(n);
+    int count = n;
+
+    for (;; lambda *= 2.0) {
+        if ((int)reps.size() <= 1) break;
+        for (int i : reps) {
+            if (adj[i].empty()) continue;
+            visited[i] = 1;
+            int front = 0, back = 0;
+            queue[back++] = i;
+            ++front;  // representative itself is not merged into itself
+            for (int j : adj[i]) {
+                j = set.find(j);
+                if (!visited[j]) {
+                    visited[j] = 1;
+                    queue[back++] = j;
+                }
+            }
+            std::vector<int> kept;
+            bool done = false;
+            while (front < back) {
+                const int j = queue[front++];
+                const double improvement =
+                    lambda - sizes[j] * metric(i, j);
+                if (improvement > 0.0) {
+                    set.link(j, i);
+                    sizes[i] += sizes[j];
+                    for (int m : adj[j]) {
+                        m = set.find(m);
+                        if (!visited[m]) {
+                            visited[m] = 1;
+                            queue[back++] = m;
+                        }
+                    }
+                    adj[j].clear();
+                    adj[j].shrink_to_fit();
+                    if (--count == n_supervoxels) { done = true; break; }
+                } else {
+                    kept.push_back(j);
+                }
+            }
+            adj[i].swap(kept);
+            for (int q = 0; q < back; ++q) visited[queue[q]] = 0;
+            if (done) break;
+        }
+        int m = 0;
+        for (int i : reps)
+            if (set.find(i) == i) reps[m++] = i;
+        reps.resize(m);
+        count = m;
+        if (count <= n_supervoxels) break;
+    }
+
+    std::vector<int> labels(n);
+    for (int i = 0; i < n; ++i) labels[i] = set.find(i);
+
+    // --- Step 2: boundary refinement ---
+    std::vector<double> dist_to_rep(n);
+    for (int i = 0; i < n; ++i) dist_to_rep[i] = metric(i, labels[i]);
+
+    std::deque<int> bq;
+    std::vector<uint8_t> in_q(n, 0);
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j < k; ++j) {
+            const int v = nb(i, j);
+            if (v < 0) continue;
+            if (labels[i] != labels[v]) {
+                if (!in_q[i]) { bq.push_back(i); in_q[i] = 1; }
+                if (!in_q[v]) { bq.push_back(v); in_q[v] = 1; }
+            }
+        }
+    }
+    while (!bq.empty()) {
+        const int i = bq.front();
+        bq.pop_front();
+        in_q[i] = 0;
+        bool changed = false;
+        for (int j = 0; j < k; ++j) {
+            const int v = nb(i, j);
+            if (v < 0) continue;
+            const int b = labels[v];
+            if (labels[i] == b) continue;
+            const double d = metric(i, b);
+            if (d < dist_to_rep[i]) {
+                labels[i] = b;
+                dist_to_rep[i] = d;
+                changed = true;
+            }
+        }
+        if (changed) {
+            for (int j = 0; j < k; ++j) {
+                const int v = nb(i, j);
+                if (v < 0) continue;
+                if (labels[i] != labels[v] && !in_q[v]) {
+                    bq.push_back(v);
+                    in_q[v] = 1;
+                }
+            }
+        }
+    }
+
+    // --- Step 3: compact labels by representative order ---
+    std::vector<int> remap(n, -1);
+    int next = 0;
+    for (int r : reps) remap[r] = next++;
+    for (int i = 0; i < n; ++i) {
+        const int r = labels[i];
+        out_labels[i] = (remap[r] >= 0) ? remap[r] : (remap[r] = next++);
+    }
+    return next;
+}
+
+}  // extern "C"

@@ -1,0 +1,122 @@
+"""Point-cloud preprocessing: voxel-grid downsampling, statistical outlier
+removal, resolution estimation, percentile C2C distances, overlap ratio.
+
+Reference counterparts:
+* ``PCpreprocessing`` / ``SORfilter``  — CommonFunc.cpp:423-452 (PCL
+  ``VoxelGrid`` + ``StatisticalOutlierRemoval``)
+* ``calPCresolution``                  — CommonFunc.cpp:239-263
+* ``calPercentileDistBetween2PC``      — CommonFunc.cpp:266-281
+* ``calOverlapRatioByC2Cdist``         — Registration.cpp:593-614
+
+Voxel binning produces a data-dependent output size, so it runs on the host
+(numpy) where dynamic shapes are free; everything O(N.k) runs on device via
+the NN kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .nn import knn, nn1
+
+
+def voxel_downsample(points: np.ndarray, leaf: float) -> np.ndarray:
+    """Voxel-grid downsample: centroid of the points in each occupied voxel.
+
+    Matches PCL ``VoxelGrid`` semantics (voxel index = floor(coord / leaf),
+    output sorted by linearised voxel index).
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    if pts.shape[0] == 0:
+        return pts
+    v = np.floor(pts.astype(np.float64) / leaf).astype(np.int64)
+    vmin = v.min(axis=0)
+    v -= vmin
+    dims = v.max(axis=0) + 1
+    lin = (v[:, 0] * dims[1] + v[:, 1]) * dims[2] + v[:, 2]
+    order = np.argsort(lin, kind="stable")
+    lin_sorted = lin[order]
+    pts_sorted = pts[order].astype(np.float64)
+    uniq, start = np.unique(lin_sorted, return_index=True)
+    counts = np.diff(np.append(start, lin.shape[0]))
+    sums = np.add.reduceat(pts_sorted, start, axis=0)
+    centroids = sums / counts[:, None]
+    return centroids.astype(np.float32)
+
+
+def sor_filter_mask(points: jnp.ndarray, mask: jnp.ndarray | None,
+                    k: int = 14, std_mult: float = 2.7) -> jnp.ndarray:
+    """Statistical outlier removal: keep points whose mean distance to the
+    ``k`` nearest neighbours is within mean + std_mult * std of the global
+    distribution (PCL ``StatisticalOutlierRemoval``; CommonFunc.cpp:442-452,
+    k=14, mult 2.7/5.0 per Registration.cpp:272,:415).
+
+    Returns a boolean keep-mask aligned with ``points``.
+    """
+    if mask is None:
+        mask = jnp.ones((points.shape[0],), dtype=bool)
+    # k+1 neighbours: the query itself is among them at distance 0
+    _, dists = knn(points, points, k + 1, q_mask=mask, t_mask=mask)
+    mean_d = jnp.sum(dists[:, 1:], axis=1) / k
+    valid = mask & jnp.isfinite(mean_d)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    safe = jnp.where(valid, mean_d, 0.0)
+    mu = jnp.sum(safe) / n
+    var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
+    thresh = mu + std_mult * jnp.sqrt(var)
+    return valid & (mean_d <= thresh)
+
+
+def preprocess_cloud(points: np.ndarray, resolution: float,
+                     sor_k: int = 14, sor_mult: float = 2.7
+                     ) -> np.ndarray:
+    """Voxel downsample at leaf=resolution, then SOR — ``PCpreprocessing``
+    (CommonFunc.cpp:423-439).  Returns a compact host array."""
+    down = voxel_downsample(points, resolution)
+    keep = np.asarray(sor_filter_mask(jnp.asarray(down), None,
+                                      k=sor_k, std_mult=sor_mult))
+    return down[keep]
+
+
+def estimate_resolution(points: jnp.ndarray,
+                        mask: jnp.ndarray | None = None) -> float:
+    """Mean distance to the nearest non-self neighbour
+    (``calPCresolution``, CommonFunc.cpp:239-263)."""
+    if mask is None:
+        mask = jnp.ones((points.shape[0],), dtype=bool)
+    _, dists = knn(points, points, 2, q_mask=mask, t_mask=mask)
+    d1 = dists[:, 1]
+    valid = mask & jnp.isfinite(d1)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return float(jnp.sum(jnp.where(valid, d1, 0.0)) / n)
+
+
+def percentile_c2c(target: jnp.ndarray, source: jnp.ndarray,
+                   percentile: float,
+                   t_mask: jnp.ndarray | None = None,
+                   s_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The p-th percentile of source→target NN distances.
+
+    Index semantics of ``calArrayPercentileElement`` (CommonFunc.cpp:174-179):
+    sort ascending and pick element ``int(n * percentile)``.
+    """
+    _, d = nn1(source, target, q_mask=s_mask, t_mask=t_mask)
+    finite = jnp.isfinite(d)
+    n = jnp.sum(finite)
+    d_sorted = jnp.sort(jnp.where(finite, d, jnp.inf))
+    idx = jnp.clip((n * percentile).astype(jnp.int32), 0, d.shape[0] - 1)
+    return d_sorted[idx]
+
+
+def overlap_ratio(target: jnp.ndarray, source: jnp.ndarray, dt_init: float,
+                  t_mask: jnp.ndarray | None = None,
+                  s_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fraction of source points whose NN distance to target is < DTinit
+    (``calOverlapRatioByC2Cdist``, Registration.cpp:593-614)."""
+    _, d = nn1(source, target, q_mask=s_mask, t_mask=t_mask)
+    finite = jnp.isfinite(d)
+    n = jnp.maximum(jnp.sum(finite), 1)
+    return jnp.sum(finite & (d < dt_init)) / n

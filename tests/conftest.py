@@ -1,0 +1,46 @@
+"""Test configuration: run JAX on a simulated 8-device CPU mesh.
+
+The reference has no test suite at all (SURVEY.md §4); this repo builds the
+full pyramid.  Multi-chip sharding is validated on virtual CPU devices via
+``xla_force_host_platform_device_count`` — the "fake backend" pattern — so
+the suite runs anywhere; TPU-hardware benchmarks live in ``bench.py`` and
+``eval/``.
+"""
+
+import os
+
+# Must be set before JAX initialises its backends.  Force CPU: the ambient
+# environment may point JAX_PLATFORMS at real TPU hardware, but unit tests
+# must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+SYNTHETIC_DIR = os.path.join(
+    REFERENCE_ROOT, "python/data/data_synthetic/syntheticPC_with_transformations")
+GROUND_TRUTH = os.path.join(
+    REFERENCE_ROOT, "python/data/data_synthetic/defined_transformations.txt")
+GOLDEN_4D = os.path.join(REFERENCE_ROOT, "python/results/4DPCReg")
+GOLDEN_PAIR = os.path.join(REFERENCE_ROOT, "python/results/PairReg")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def synthetic_dir():
+    if not os.path.isdir(SYNTHETIC_DIR):
+        pytest.skip("reference synthetic data not available")
+    return SYNTHETIC_DIR
