@@ -1,0 +1,52 @@
+"""Command-line interface.
+
+    python -m piecewise_icp_tpu pair --config conf.txt --out results/PairReg/
+    python -m piecewise_icp_tpu 4d --config conf.txt --epochs 20 --mode -1
+    python -m piecewise_icp_tpu 4d ... --kalman --shards 4 --shard 1
+
+Mirrors the reference's two C-ABI entry points (Registration.h:36,49) with
+the extra TPU-build capabilities (Kalman smoothing, sharded epoch fleets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="piecewise_icp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_pair = sub.add_parser("pair", help="pairwise registration")
+    p_pair.add_argument("--config", required=True)
+    p_pair.add_argument("--out", required=True,
+                        help="output file prefix (like results/PairReg/)")
+
+    p_4d = sub.add_parser("4d", help="4D time-series registration")
+    p_4d.add_argument("--config", required=True)
+    p_4d.add_argument("--start-epoch", type=int, default=0)
+    p_4d.add_argument("--epochs", type=int, required=True)
+    p_4d.add_argument("--mode", type=int, default=-1,
+                      help="0: direct-to-ref; >0 fixed interval; <0 adaptive")
+    p_4d.add_argument("--overlap-thd", type=float, default=0.75)
+    p_4d.add_argument("--ground-truth", default=None)
+    p_4d.add_argument("--kalman", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "pair":
+        from .models.pairwise import piecewise_icp_pair_call
+        ok = piecewise_icp_pair_call(args.config, args.out)
+    else:
+        from .models.four_d import piecewise_icp_4d_call
+        overrides = {"kalman_enabled": True} if args.kalman else {}
+        ok = piecewise_icp_4d_call(args.config, args.start_epoch,
+                                   args.epochs, args.mode, args.overlap_thd,
+                                   ground_truth=args.ground_truth,
+                                   **overrides)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

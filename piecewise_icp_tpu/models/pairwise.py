@@ -1,0 +1,118 @@
+"""Pairwise registration — public API layer.
+
+Mirrors ``PiecewiseICP_pair_call`` (Registration.cpp:219-398) and the shared
+per-pair body ``Piecewise_ICP_4D`` (Registration.cpp:402-548): preprocess,
+centroid-reduce, run the core, de-reduce the transform, write reports.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PiecewiseICPConfig
+from ..io import formats, read_pcd, write_pcd
+from ..ops.preprocess import estimate_resolution, preprocess_cloud
+from ..ops.transform import (apply_transform_np, matrix_to_angles,
+                             matrix_to_params_gon, translation_matrix)
+from ..utils.logging import PhaseTimer, log
+from .piecewise_icp import PairResult, piecewise_icp
+
+
+@dataclasses.dataclass
+class RegistrationOutput:
+    """Full pairwise outcome in the original (unreduced) frame."""
+
+    trans_mat: np.ndarray       # 4x4 f64
+    vcm: np.ndarray             # 6x6 f64
+    params_gon_m: np.ndarray    # (Rx,Ry,Rz [gon], tx,ty,tz [m])
+    core: PairResult
+    timer: PhaseTimer
+
+
+def register_pair(points1: np.ndarray, points2: np.ndarray,
+                  cfg: Optional[PiecewiseICPConfig] = None,
+                  sor_mult: Optional[float] = None) -> RegistrationOutput:
+    """Register cloud2 onto cloud1 (raw input clouds, original frame).
+
+    Pipeline (Registration.cpp:249-330): optional resolution estimation →
+    voxel+SOR preprocessing → centroid reduction to the PC1 centroid →
+    Piecewise-ICP core → T_final = Shift^-1 · T · Shift.
+    """
+    cfg = cfg or PiecewiseICPConfig()
+    timer = PhaseTimer()
+
+    res1, res2 = cfg.res1, cfg.res2
+    if not cfg.set_res_svsize:
+        with timer.phase("resolution"):
+            res1 = estimate_resolution(jnp.asarray(points1))
+            res2 = estimate_resolution(jnp.asarray(points2))
+    log.info("PC1 %d pts (res %.4g) | PC2 %d pts (res %.4g)",
+             len(points1), res1, len(points2), res2)
+
+    mult = sor_mult if sor_mult is not None else cfg.sor_std_mult_pair
+    with timer.phase("preprocess"):
+        prep1 = preprocess_cloud(points1, res1, cfg.sor_neighbors, mult)
+        prep2 = preprocess_cloud(points2, res2, cfg.sor_neighbors, mult)
+    log.info("preprocessed: PC1 %d pts | PC2 %d pts", len(prep1), len(prep2))
+
+    # centroid reduction (Registration.cpp:277-294)
+    shift = -prep1.astype(np.float64).mean(axis=0)
+    red1 = (prep1.astype(np.float64) + shift).astype(np.float32)
+    red2 = (prep2.astype(np.float64) + shift).astype(np.float32)
+
+    with timer.phase("core"):
+        core = piecewise_icp(red1, red2, res1, res2, cfg)
+
+    # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
+    s = translation_matrix(shift)
+    s_inv = translation_matrix(-shift)
+    trans_final = s_inv @ core.trans_mat @ s
+    params = matrix_to_params_gon(trans_final)
+    log.info("final transform params (gon/m): %s", np.array2string(
+        params, precision=6))
+    return RegistrationOutput(trans_mat=trans_final, vcm=core.vcm,
+                              params_gon_m=params, core=core, timer=timer)
+
+
+def write_pair_report(out_prefix: str | pathlib.Path,
+                      result: RegistrationOutput,
+                      source_points: Optional[np.ndarray] = None) -> None:
+    """Write TransMatrix.txt (+ RegisteredSourceCloud.pcd) like the
+    reference (Registration.cpp:340-394)."""
+    prefix = str(out_prefix)
+    angles = matrix_to_angles(result.trans_mat)
+    formats.write_trans_matrix_report(
+        prefix + "TransMatrix.txt", result.trans_mat, angles,
+        result.trans_mat[:3, 3], result.vcm)
+    if source_points is not None:
+        reg = apply_transform_np(source_points.astype(np.float64),
+                                 result.trans_mat).astype(np.float32)
+        write_pcd(prefix + "RegisteredSourceCloud.pcd", reg)
+
+
+def piecewise_icp_pair_call(confile: str, outfile: str,
+                            **overrides) -> bool:
+    """Drop-in equivalent of the reference C ABI entry
+    ``PiecewiseICP_pair_call(confile, outfile)`` (Registration.h:49)."""
+    try:
+        cfg = PiecewiseICPConfig.from_reference_file(confile, **overrides)
+    except (OSError, ValueError) as e:
+        log.error("cannot read configuration file: %s", e)
+        return False
+    try:
+        pts1 = read_pcd(cfg.path1)
+        pts2 = read_pcd(cfg.path2)
+    except Exception as e:
+        log.error("cannot load point clouds: %s", e)
+        return False
+    if len(pts1) < 1 or len(pts2) < 1:
+        return False
+    result = register_pair(pts1, pts2, cfg)
+    write_pair_report(outfile, result, source_points=pts2)
+    log.info("transformation results saved to %s", outfile)
+    return True

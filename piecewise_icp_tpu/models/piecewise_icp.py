@@ -1,0 +1,297 @@
+"""The Piecewise-ICP core: iterative stable-patch classification under a
+monotonically decreasing distance threshold, with Level-of-Detection floor.
+
+TPU-native re-design of ``Piecewise_ICP`` / ``PwICP_singleIteration``
+(Registration.cpp:618-972).  The data-dependent, variable-iteration DT loop
+runs on host (matching the reference's control flow); each iteration's heavy
+lifting is two jitted device programs:
+
+  * ``_classify_and_align`` — centroid/boundary correspondences, per-patch
+    LoD, stable/unstable classification, inner point-to-plane ICP, bounding
+    -box convergence metric (Registration.cpp:735-888), all fused;
+  * the stage-1 percentile C2C distance over the full clouds
+    (Registration.cpp:905), via the NN kernel.
+
+Static shapes: patch arrays are padded to ``patch_pad_multiple`` and point
+arrays to ``point_pad_multiple`` buckets so recompilation across epoch pairs
+is rare.
+
+Reference semantics preserved:
+  * per-patch LoD = clamp(1.96 sqrt(sigmaCT1(match)^2 + sigmaBP2^2),
+    DTmin, 2 DTmin)                                 (Registration.cpp:751-766)
+  * classification threshold max(currDT, LoD_i) applied to the centroid AND
+    all six boundary-point point-to-plane distances, plus the point-to-point
+    guard dist < currDT + SVres1 + SVres2           (Registration.cpp:817-861)
+  * 3-stage DT schedule: stage 1 follows the 75th-percentile C2C distance,
+    stage 2 decays geometrically with the bounding-box-change ratio clamped
+    to [0.5, 0.8], stage 3 terminates at the minimum LoD
+                                                    (Registration.cpp:891-935)
+  * abort (typed error, not std::exit) when fewer than 4 stable patches
+    remain                                          (Registration.cpp:864-867)
+  * VCM from the final iteration's stable centroids (Registration.cpp:957-961)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PiecewiseICPConfig
+from ..ops.preprocess import percentile_c2c
+from ..ops.transform import apply_transform, masked_aabb, \
+    bounding_box_corner_change
+from ..utils.errors import DegenerateGeometryError
+from ..utils.logging import log
+from .icp import _masked_nn, compute_vcm, point_to_plane_icp
+from .segmentation import PatchSet, build_patches
+
+
+def _pad(arr: np.ndarray, multiple: int, value=0.0) -> np.ndarray:
+    n = arr.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return arr
+    pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=value)
+
+
+def _mask(n: int, multiple: int) -> np.ndarray:
+    target = ((n + multiple - 1) // multiple) * multiple
+    m = np.zeros(target, dtype=bool)
+    m[:n] = True
+    return m
+
+
+@dataclasses.dataclass
+class PairResult:
+    """Outcome of one pairwise Piecewise-ICP registration."""
+
+    trans_mat: np.ndarray      # 4x4 f64 — core transform (reduced frame)
+    vcm: np.ndarray            # 6x6 f64
+    dt_series: List[float]
+    iterations: int
+    stable_ratio: float        # stable / total patch points, last iteration
+    num_patches: tuple         # (P1, P2)
+
+
+@functools.partial(jax.jit, static_argnames=("icp_max_iterations",))
+def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
+                        ct2, bp2, std_bp2, ct2_mask,
+                        curr_dt, dt_min, max_lod, sv_sum,
+                        icp_max_iterations: int = 100,
+                        icp_trans_eps: float = 1e-8,
+                        icp_fitness_eps: float = 1e-6):
+    """One fused classification + alignment step (device).
+
+    Returns (T_icp 4x4, stable [P2] bool, LoDet_min, n_stable, icp_iters).
+    """
+    p2 = ct2.shape[0]
+    f32 = ct1.dtype
+
+    # (1) correspondences CT2→CT1 and BP2→CT1 (Registration.cpp:737-747)
+    ct_idx, ct_dist = _masked_nn(ct2, ct2_mask, ct1, ct1_mask)
+    bp2_mask = jnp.repeat(ct2_mask, 6)
+    bp_idx, _ = _masked_nn(bp2, bp2_mask, ct1, ct1_mask)
+
+    # (2) per-patch LoD (Registration.cpp:751-766)
+    sig1 = std_ct1[ct_idx]
+    lod = 1.96 * jnp.sqrt(sig1 * sig1 + std_bp2 * std_bp2)
+    lod = jnp.clip(lod, dt_min, max_lod)
+    lod_min = jnp.min(jnp.where(ct2_mask, lod, jnp.inf))
+
+    # (3) point-to-plane distances against the MATCHED TARGET patch plane
+    #     (Registration.cpp:779-812; patch normals cached, the reference
+    #     recomputes them per correspondence)
+    pt2pl_ct = jnp.abs(jnp.sum((ct1[ct_idx] - ct2) * n1[ct_idx], axis=1))
+    pt2pl_bp = jnp.abs(jnp.sum((ct1[bp_idx] - bp2) * n1[bp_idx], axis=1))
+    pt2pl_bp = pt2pl_bp.reshape(p2, 6)
+
+    # (4) stable / unstable classification (Registration.cpp:817-861)
+    thr = jnp.maximum(curr_dt, lod)
+    ct_pass = pt2pl_ct <= thr
+    bp_pass = jnp.all(pt2pl_bp <= thr[:, None], axis=1)
+    ptpt_pass = ct_dist < curr_dt + sv_sum
+    stable = ct2_mask & ct_pass & bp_pass & ptpt_pass
+    n_stable = jnp.sum(stable)
+
+    # (5) inner point-to-plane ICP: stable CT2 onto CT1-with-normals
+    #     (Registration.cpp:874-877)
+    t_icp, icp_iters = point_to_plane_icp(
+        ct1, n1, ct1_mask, ct2, stable,
+        max_iterations=icp_max_iterations,
+        transformation_eps=icp_trans_eps, fitness_eps=icp_fitness_eps)
+
+    return t_icp, stable, lod_min.astype(f32), n_stable, icp_iters
+
+
+@jax.jit
+def _apply_state(t_icp, cloud2, ct2, bp2):
+    """Apply the iteration transform to the source state
+    (Registration.cpp:942-954)."""
+    return (apply_transform(cloud2, t_icp), apply_transform(ct2, t_icp),
+            apply_transform(bp2, t_icp))
+
+
+@jax.jit
+def _bb_change(cloud2, cloud2_mask, t_icp):
+    bb_min, bb_max = masked_aabb(cloud2, cloud2_mask)
+    return bounding_box_corner_change(bb_min, bb_max, t_icp)
+
+
+def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
+                  res1: float, res2: float,
+                  cfg: Optional[PiecewiseICPConfig] = None,
+                  patches1: Optional[PatchSet] = None,
+                  patches2: Optional[PatchSet] = None) -> PairResult:
+    """Register preprocessed ``cloud2`` onto ``cloud1`` (both centroid-
+    reduced, host float32 arrays).
+
+    Mirrors ``Piecewise_ICP`` (Registration.cpp:618-700): auto DT-init,
+    supervoxel sizing, patch generation, then the staged iteration loop.
+    """
+    cfg = cfg or PiecewiseICPConfig()
+
+    # --- initial DT (Registration.cpp:627-631) ---
+    if cfg.set_dtinit:
+        curr_dt = float(cfg.dt_init)
+    else:
+        d75 = float(percentile_c2c(jnp.asarray(cloud1), jnp.asarray(cloud2),
+                                   cfg.dtinit_percentile))
+        curr_dt = d75 * cfg.dtinit_mult
+    log.info("DT initial value = %g m", curr_dt)
+
+    # --- supervoxel sizes (Registration.cpp:635-640) ---
+    sv1 = cfg.svsize1 if cfg.set_res_svsize else res1 * cfg.sv_size_res_mult
+    sv2 = cfg.svsize2 if cfg.set_res_svsize else res2 * cfg.sv_size_res_mult
+
+    # --- patch generation (Registration.cpp:653-664) ---
+    if patches1 is None:
+        patches1 = build_patches(cloud1, sv1, cfg)
+    if patches2 is None:
+        patches2 = build_patches(cloud2, sv2, cfg)
+    p1, p2 = patches1.num_patches, patches2.num_patches
+    log.info("selected patches: PC1=%d PC2=%d", p1, p2)
+    if p2 < cfg.min_stable_patches or p1 < cfg.min_stable_patches:
+        raise DegenerateGeometryError(
+            f"not enough patches: PC1={p1}, PC2={p2} (<4)")
+
+    pm, cm = cfg.patch_pad_multiple, cfg.point_pad_multiple
+
+    # device-resident static target state
+    ct1 = jnp.asarray(_pad(patches1.centroids, pm))
+    n1 = jnp.asarray(_pad(patches1.normals, pm))
+    std_ct1 = jnp.asarray(_pad(patches1.std_ct, pm))
+    ct1_mask = jnp.asarray(_mask(p1, pm))
+    cloud1_j = jnp.asarray(_pad(patches1.points, cm))
+    cloud1_mask = jnp.asarray(_mask(patches1.points.shape[0], cm))
+
+    # device-resident mutable source state
+    ct2 = jnp.asarray(_pad(patches2.centroids, pm))
+    bp2 = jnp.asarray(_pad(patches2.boundary.reshape(-1, 3), 6 * pm))
+    std_bp2 = jnp.asarray(_pad(patches2.std_bp, pm))
+    ct2_mask = jnp.asarray(_mask(p2, pm))
+    cloud2_j = jnp.asarray(_pad(patches2.points, cm))
+    cloud2_mask = jnp.asarray(_mask(patches2.points.shape[0], cm))
+    labels2 = _pad(patches2.labels, cm, value=-1)
+
+    dt_min = float(cfg.dt_min)
+    max_lod = dt_min * cfg.lod_max_ratio
+    sv_sum = float(sv1 + sv2)
+
+    trans_mat = np.eye(4, dtype=np.float64)
+    dt_series = [curr_dt]
+    to_stage2 = to_stage3 = False
+    bb1 = bb2 = 0.0
+    vcm = np.zeros((6, 6))
+    stable_ratio = 0.0
+    iteration = 0
+    max_outer = 100  # hard cap; the reference loop is unbounded
+
+    while not to_stage3:
+        iteration += 1
+        if curr_dt <= dt_min:  # DT floor (Registration.cpp:724-725)
+            curr_dt = dt_min
+
+        t_icp, stable, lod_min, n_stable, icp_iters = _classify_and_align(
+            ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
+            jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
+            icp_max_iterations=cfg.icp_max_iterations,
+            icp_trans_eps=cfg.icp_transformation_eps,
+            icp_fitness_eps=cfg.icp_fitness_eps)
+
+        n_stable = int(n_stable)
+        lod_min = float(lod_min)
+        if n_stable < cfg.min_stable_patches:
+            raise DegenerateGeometryError(
+                f"only {n_stable} stable patches left — not enough "
+                f"overlapping area (iteration {iteration})")
+
+        stable_np = np.asarray(stable)
+        pt_stable = (labels2 >= 0) & stable_np[np.clip(labels2, 0, None)]
+        n_patch_pts = int((labels2 >= 0).sum())
+        stable_ratio = float(pt_stable.sum()) / max(n_patch_pts, 1)
+
+        max_bb = float(_bb_change(cloud2_j, cloud2_mask, t_icp))
+
+        # ---- stage transitions (Registration.cpp:891-935) ----
+        if (not to_stage2) and max_bb < dt_min:
+            to_stage2 = True
+            log.info("DT changed to Stage 2 (BB %g < minLoD)", max_bb)
+        elif curr_dt <= lod_min * (1 + 1e-6):
+            to_stage3 = True
+            log.info("DT changed to Stage 3 (End)")
+
+        if not to_stage2:
+            d75 = float(percentile_c2c(
+                cloud1_j, cloud2_j, cfg.dtinit_percentile,
+                t_mask=cloud1_mask,
+                s_mask=jnp.asarray(pt_stable) & cloud2_mask))
+            if curr_dt > d75:
+                curr_dt = d75  # monotone decrease via percentile
+            else:
+                to_stage2 = True
+                log.info("DT changed to Stage 2 (percentile stalled)")
+            if curr_dt <= lod_min:
+                curr_dt = lod_min
+            bb2, bb1 = bb1, max_bb
+        if to_stage2 and not to_stage3:
+            alpha = abs(bb1 / bb2) if bb2 != 0.0 else float("inf")
+            if not np.isfinite(alpha):
+                curr_dt *= cfg.dt_decay_hi
+            else:
+                curr_dt *= min(max(alpha, cfg.dt_decay_lo), cfg.dt_decay_hi)
+            if curr_dt <= lod_min:
+                curr_dt = lod_min
+            bb2, bb1 = bb1, max_bb
+
+        # ---- final-iteration VCM, from PRE-transform stable centroids
+        #      (Registration.cpp:957-961) ----
+        if to_stage3 or iteration >= max_outer:
+            vcm = compute_vcm(np.asarray(ct1), np.asarray(n1),
+                              np.asarray(ct1_mask), np.asarray(ct2),
+                              stable_np)
+
+        # ---- apply transform to source state (Registration.cpp:942-954) --
+        cloud2_j, ct2, bp2 = _apply_state(t_icp, cloud2_j, ct2, bp2)
+        trans_mat = np.asarray(t_icp, dtype=np.float64) @ trans_mat
+        dt_series.append(curr_dt)
+
+        log.info("iter %d | DT=%.4f cm | stable=%d/%d (%.1f%% pts) | "
+                 "BB=%.4g | icp_iters=%d | s2=%s s3=%s",
+                 iteration, curr_dt * 100, n_stable, p2,
+                 100 * stable_ratio, max_bb, int(icp_iters),
+                 to_stage2, to_stage3)
+
+        if iteration >= max_outer and not to_stage3:
+            log.warning("DT schedule did not reach stage 3 in %d iterations;"
+                        " terminating", max_outer)
+            break
+
+    return PairResult(trans_mat=trans_mat, vcm=vcm, dt_series=dt_series,
+                      iterations=iteration, stable_ratio=stable_ratio,
+                      num_patches=(p1, p2))

@@ -9,14 +9,15 @@ the suite runs anywhere; TPU-hardware benchmarks live in ``bench.py`` and
 
 import os
 
-# Must be set before JAX initialises its backends.  Force CPU: the ambient
-# environment may point JAX_PLATFORMS at real TPU hardware, but unit tests
-# must run on the virtual 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU with 8 virtual devices BEFORE any backend initialises.  The
+# ambient environment points JAX at real TPU hardware via a platform plugin
+# that ignores the JAX_PLATFORMS env var, so use config updates instead.
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -34,8 +35,10 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running integration test")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order
     return np.random.default_rng(42)
 
 

@@ -1,0 +1,117 @@
+"""End-to-end 4D pipeline test on a generated miniature epoch series with
+exact ground-truth transforms — the reference's own validation strategy
+(defined_transformations.txt + calAbsErrorOfTransPara) in miniature."""
+
+import os
+
+import numpy as np
+import pytest
+
+from piecewise_icp_tpu.config import PiecewiseICPConfig
+from piecewise_icp_tpu.io import formats, write_pcd
+from piecewise_icp_tpu.models.four_d import run_4d
+from piecewise_icp_tpu.ops.transform import apply_transform_np, \
+    small_angle_matrix
+
+from util import small_test_config, terrain_cloud
+
+
+def _make_series(tmp_path, rng, n_epochs=4):
+    """Build Epoch_00N.pcd files where epoch k is an independent scan of the
+    surface moved by cumulative ground-truth transform G_k (G_1 = I).
+
+    Ground-truth semantics match defined_transformations.txt: G_k maps the
+    MOVED epoch-k scan back onto the reference frame.
+    """
+    data_dir = tmp_path / "scans"
+    data_dir.mkdir()
+    gt = [np.eye(4)]
+    for k in range(1, n_epochs):
+        step = small_angle_matrix(np.concatenate([
+            rng.normal(scale=8e-4, size=3), rng.normal(scale=3e-3, size=3)]))
+        gt.append(gt[-1] @ step)
+    for k in range(n_epochs):
+        scan = terrain_cloud(rng, n_side=60)
+        # displace the scan by the inverse: registration must recover gt[k]
+        moved = apply_transform_np(scan.astype(np.float64),
+                                   np.linalg.inv(gt[k])).astype(np.float32)
+        write_pcd(data_dir / f"Epoch_{k + 1:03d}.pcd", moved)
+    # ground-truth file: <epoch>\n<4x4> blocks
+    lines = []
+    for k in range(n_epochs):
+        lines.append(str(k + 1))
+        for row in gt[k]:
+            lines.append(" ".join(f"{v:.12f}" for v in row))
+    (tmp_path / "defined_transformations.txt").write_text(
+        "\n".join(lines) + "\n")
+    return data_dir, gt
+
+
+@pytest.mark.slow
+class Test4DPipeline:
+    @pytest.mark.parametrize("pair_mode", [0, 1, -1])
+    def test_full_4d_run(self, tmp_path, rng, pair_mode):
+        n_epochs = 4
+        data_dir, gt = _make_series(tmp_path, rng, n_epochs)
+        out_dir = tmp_path / f"out_{pair_mode}"
+        cfg = small_test_config(path1=str(data_dir),
+                                path2=str(out_dir) + os.sep,
+                                kalman_enabled=True)
+        ok = run_4d(cfg, start_epoch=0, epoch_num=n_epochs,
+                    pair_mode=pair_mode, overlap_thd=0.75,
+                    ground_truth=str(tmp_path / "defined_transformations.txt"))
+        assert ok
+
+        # all output artefacts exist
+        for name in ("TransMatrices.txt", "TransParameters.txt",
+                     "TransMatrices_toRef.txt", "TransParameters_toRef.txt",
+                     "TransPara_AbsError.txt",
+                     "TransParameters_toRef_smoothed.txt"):
+            assert (out_dir / name).exists(), name
+        if pair_mode < 0:
+            assert (out_dir / "RegPairFile.txt").exists()
+
+        ts, tms, vcms = formats.read_trans_matrices(
+            out_dir / "TransMatrices_toRef.txt", n_epochs - 1)
+        assert ts == [2, 3, 4]
+        errors = formats.read_abs_errors(out_dir / "TransPara_AbsError.txt")
+        assert errors.shape == (n_epochs - 1, 6)
+        # registration accuracy on this small scene: rotations within
+        # ~0.2 gon, translations within ~5 mm of ground truth
+        assert errors[:, :3].max() < 200.0   # mgon
+        assert errors[:, 3:].max() < 5.0     # mm
+
+        # per-pair reports written
+        mode = {0: "Direct2Ref_", 1: "Fixed_", -1: "Adaptive_"}[pair_mode]
+        for ts_i in (2, 3, 4):
+            assert (out_dir / f"{ts_i}_{mode}TransMatrix.txt").exists()
+
+        # parameter tables parse and have matching stds
+        tbl = formats.read_trans_parameters(out_dir /
+                                            "TransParameters_toRef.txt")
+        assert tbl.shape == (n_epochs - 1, 13)
+        assert (tbl[:, 7:] >= 0).all()
+
+    def test_kalman_output_consistent(self, tmp_path, rng):
+        n_epochs = 4
+        data_dir, gt = _make_series(tmp_path, rng, n_epochs)
+        out_dir = tmp_path / "out_k"
+        cfg = small_test_config(path1=str(data_dir),
+                                path2=str(out_dir) + os.sep,
+                                kalman_enabled=True,
+                                kalman_process_noise=1e-6)
+        assert run_4d(cfg, 0, n_epochs, 0, ground_truth=str(
+            tmp_path / "defined_transformations.txt"))
+        raw = formats.read_trans_parameters(out_dir /
+                                            "TransParameters_toRef.txt")
+        sm = formats.read_trans_parameters(
+            out_dir / "TransParameters_toRef_smoothed.txt")
+        assert sm.shape == raw.shape
+        assert np.isfinite(sm).all()
+        # smoothing must not degrade accuracy against ground truth: compare
+        # mean absolute parameter error (gon / m) of raw vs smoothed
+        from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+        gt_params = np.stack([matrix_to_params_gon(g) for g in gt[1:]])
+        raw_err = np.abs(raw[:, 1:7] - gt_params).mean()
+        sm_err = np.abs(sm[:, 1:7] - gt_params).mean()
+        assert sm_err <= raw_err * 1.25 + 1e-4

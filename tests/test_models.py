@@ -1,0 +1,240 @@
+"""Model-layer tests: segmentation, inner ICP, VCM, the Piecewise-ICP core
+loop, chaining, Kalman smoothing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from piecewise_icp_tpu.config import ARC_TO_GON, PiecewiseICPConfig
+from piecewise_icp_tpu.models.chaining import (absolute_errors,
+                                               chain_to_reference)
+from piecewise_icp_tpu.models.icp import compute_vcm, point_to_plane_icp
+from piecewise_icp_tpu.models.kalman import kalman_smooth_transforms
+from piecewise_icp_tpu.models.piecewise_icp import piecewise_icp
+from piecewise_icp_tpu.models.segmentation import build_patches, \
+    estimate_normals, knn_graph
+from piecewise_icp_tpu.ops.transform import (adjoint_6x6,
+                                             apply_transform_np,
+                                             matrix_to_params_gon,
+                                             small_angle_matrix)
+
+from util import make_pair, small_test_config, terrain_cloud
+
+
+class TestNormals:
+    def test_plane_normals(self, rng):
+        pts = terrain_cloud(rng, n_side=40, noise=1e-5)
+        nbr = knn_graph(pts, 20)
+        normals = estimate_normals(pts, nbr)
+        norms = np.linalg.norm(normals, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # mostly upward-ish surface: |nz| should dominate on this terrain
+        assert (np.abs(normals[:, 2]) > 0.5).mean() > 0.9
+
+
+class TestSegmentationModel:
+    def test_build_patches_terrain(self, rng):
+        pts = terrain_cloud(rng, n_side=60)
+        cfg = small_test_config()
+        ps = build_patches(pts, 0.3, cfg)
+        assert ps.num_patches >= 10
+        assert (ps.counts >= cfg.min_patch_points).all()
+        assert ps.boundary.shape == (ps.num_patches, 6, 3)
+        # labels reference valid patches only
+        assert ps.labels.max() < ps.num_patches
+        # centroid of each patch ~ mean of its member points
+        for p in range(0, ps.num_patches, max(ps.num_patches // 5, 1)):
+            members = ps.points[ps.labels == p]
+            np.testing.assert_allclose(ps.centroids[p], members.mean(0),
+                                       atol=1e-3)
+        # std_ct = std_bp / N (reference calBPandCTSTD semantics)
+        np.testing.assert_allclose(ps.std_ct,
+                                   ps.std_bp / np.maximum(ps.counts, 1),
+                                   rtol=1e-5)
+
+    def test_boundary_points_are_extremal_members(self, rng):
+        pts = terrain_cloud(rng, n_side=50)
+        ps = build_patches(pts, 0.3, small_test_config())
+        p = ps.num_patches // 2
+        members = ps.points[ps.labels == p]
+        bp = ps.boundary[p]
+        assert bp[0, 0] == pytest.approx(members[:, 0].max())
+        assert bp[1, 0] == pytest.approx(members[:, 0].min())
+        assert bp[2, 1] == pytest.approx(members[:, 1].max())
+        assert bp[5, 2] == pytest.approx(members[:, 2].min())
+
+    def test_patch_normals_unit_and_planar(self, rng):
+        pts = terrain_cloud(rng, n_side=50)
+        ps = build_patches(pts, 0.3, small_test_config())
+        np.testing.assert_allclose(np.linalg.norm(ps.normals, axis=1), 1.0,
+                                   atol=1e-4)
+        # residuals to the fitted plane should be small
+        for p in range(0, ps.num_patches, max(ps.num_patches // 4, 1)):
+            members = ps.points[ps.labels == p]
+            d = np.abs((members - ps.centroids[p]) @ ps.normals[p])
+            assert d.mean() < 0.02
+
+
+class TestInnerICP:
+    def _centroid_scene(self, rng, n=300):
+        ct = terrain_cloud(rng, n_side=20, noise=0.0)[:n]
+        # normals: upward-ish randomised unit vectors
+        nrm = rng.normal(size=(len(ct), 3)) * 0.15
+        nrm[:, 2] += 1.0
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        return ct.astype(np.float32), nrm.astype(np.float32)
+
+    def test_recovers_small_transform(self, rng):
+        ct, nrm = self._centroid_scene(rng)
+        params = np.array([0.004, -0.003, 0.006, 0.01, -0.02, 0.015])
+        t_true = small_angle_matrix(params)
+        src = apply_transform_np(ct.astype(np.float64),
+                                 np.linalg.inv(t_true)).astype(np.float32)
+        mask = np.ones(len(ct), dtype=bool)
+        t_est, iters = point_to_plane_icp(
+            jnp.asarray(ct), jnp.asarray(nrm), jnp.asarray(mask),
+            jnp.asarray(src), jnp.asarray(mask))
+        t_est = np.asarray(t_est, dtype=np.float64)
+        err = matrix_to_params_gon(t_est) - matrix_to_params_gon(t_true)
+        assert np.abs(err[:3]).max() / ARC_TO_GON < 2e-5   # < ~0.02 mrad
+        assert np.abs(err[3:]).max() < 5e-5                # < 0.05 mm
+        assert int(iters) < 100
+
+    def test_masked_sources_ignored(self, rng):
+        ct, nrm = self._centroid_scene(rng)
+        src = ct.copy()
+        src[200:] += 100.0  # wildly wrong points, masked out
+        mask_t = np.ones(len(ct), dtype=bool)
+        mask_s = np.ones(len(ct), dtype=bool)
+        mask_s[200:] = False
+        t_est, _ = point_to_plane_icp(
+            jnp.asarray(ct), jnp.asarray(nrm), jnp.asarray(mask_t),
+            jnp.asarray(src), jnp.asarray(mask_s))
+        np.testing.assert_allclose(np.asarray(t_est), np.eye(4), atol=1e-4)
+
+
+class TestVCM:
+    def test_matches_direct_least_squares(self, rng):
+        ct = rng.normal(size=(100, 3)).astype(np.float32)
+        nrm = rng.normal(size=(100, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        nrm = nrm.astype(np.float32)
+        src = (ct + rng.normal(scale=1e-3, size=ct.shape)).astype(np.float32)
+        mask = np.ones(100, dtype=bool)
+        vcm = compute_vcm(ct, nrm, mask, src, mask)
+        # direct reference computation (identical correspondence = identity
+        # here because src is a small perturbation of ct)
+        q = src.astype(np.float64)
+        n_ = nrm.astype(np.float64)
+        p = ct.astype(np.float64)
+        a = np.column_stack([
+            n_[:, 2] * q[:, 1] - n_[:, 1] * q[:, 2],
+            n_[:, 0] * q[:, 2] - n_[:, 2] * q[:, 0],
+            n_[:, 1] * q[:, 0] - n_[:, 0] * q[:, 1],
+            n_[:, 0], n_[:, 1], n_[:, 2]])
+        l = np.sum(n_ * (p - q), axis=1)
+        qxx = np.linalg.inv(a.T @ a)
+        x = qxx @ a.T @ l
+        v = a @ x - l
+        ref = (v @ v) / (100 - 6) * qxx
+        np.testing.assert_allclose(vcm, ref, rtol=1e-3, atol=1e-14)
+        assert (np.diag(vcm) > 0).all()
+
+
+class TestPiecewiseICPCore:
+    def test_recovers_known_transform(self, rng):
+        params = np.array([0.002, -0.0015, 0.0025, 0.004, -0.006, 0.005])
+        c1, c2, t_true = make_pair(rng, params)
+        cfg = small_test_config()
+        res = piecewise_icp(c1, c2, cfg.res1, cfg.res2, cfg)
+        # registration maps cloud2 back onto cloud1: T_est ≈ T_true^-1, so
+        # M = T_est @ T_true should displace no point by more than the
+        # statistical floor of this small scene (~150 patches)
+        m = res.trans_mat @ t_true
+        disp = np.linalg.norm(apply_transform_np(c2.astype(np.float64), m)
+                              - c2.astype(np.float64), axis=1)
+        assert disp.mean() < 2e-3     # mean residual < 2 mm
+        assert disp.max() < 5e-3      # worst-case corner < 5 mm
+        assert res.vcm.shape == (6, 6)
+        assert (np.diag(res.vcm) > 0).all()
+        assert res.dt_series[0] == pytest.approx(cfg.dt_init)
+        # monotone non-increasing DT
+        assert all(b <= a + 1e-9 for a, b in
+                   zip(res.dt_series, res.dt_series[1:]))
+        # pyramid-edge patches are rightly rejected at tight DT;
+        # a healthy run still keeps a meaningful stable core
+        assert res.stable_ratio > 0.2
+
+
+class TestChaining:
+    def _random_se3(self, rng, scale=1e-3):
+        return small_angle_matrix(np.concatenate([
+            rng.normal(scale=scale, size=3), rng.normal(scale=scale, size=3)]))
+
+    def test_direct_mode_copies(self, rng):
+        tms = [self._random_se3(rng) for _ in range(3)]
+        vcms = [np.eye(6) * 1e-8 for _ in range(3)]
+        out_t, out_v = chain_to_reference(tms, vcms, pair_mode=0)
+        for a, b in zip(out_t, tms):
+            np.testing.assert_allclose(a, b)
+
+    def test_fixed_interval_accumulates(self, rng):
+        tms = [self._random_se3(rng) for _ in range(4)]
+        vcms = [np.eye(6) * (k + 1) * 1e-9 for k in range(4)]
+        out_t, out_v = chain_to_reference(tms, vcms, pair_mode=1)
+        # epoch 4 (index 3) maps 4→3→2→1→0, so T = T0 @ T1 @ T2 @ T3
+        # (walk-backward left-composition, Registration.cpp:1100-1105)
+        ref = tms[0] @ tms[1] @ tms[2] @ tms[3]
+        np.testing.assert_allclose(out_t[3], ref, atol=1e-12)
+        # VCM simple adding
+        np.testing.assert_allclose(out_v[3], sum(vcms), atol=1e-15)
+
+    def test_adaptive_adjoint_propagation(self, rng):
+        # pairs: source->target (relative): 1->0, 2->1, 3->1
+        pairs = {1: 0, 2: 1, 3: 1}
+        tms = [self._random_se3(rng) for _ in range(3)]
+        vcms = [np.diag(rng.uniform(1e-9, 1e-8, size=6)) for _ in range(3)]
+        out_t, out_v = chain_to_reference(tms, vcms, pair_mode=-1,
+                                          reg_pairs=pairs)
+        # epoch 3 chains through target 1: T = T(1) @ T(3)
+        np.testing.assert_allclose(out_t[2], tms[0] @ tms[2], atol=1e-12)
+        ad = adjoint_6x6(tms[0])
+        ref_v = vcms[0] + ad @ vcms[2] @ ad.T
+        np.testing.assert_allclose(out_v[2], ref_v, atol=1e-15)
+        # epoch 2 chains through 1: T = T(1) @ T(2)
+        np.testing.assert_allclose(out_t[1], tms[0] @ tms[1], atol=1e-12)
+
+    def test_absolute_errors_units(self, rng):
+        t_est = small_angle_matrix([0, 0, 0, 0.001, 0, 0])
+        t_ref = np.eye(4)
+        err = absolute_errors([t_est], [t_ref])
+        assert err[0, 3] == pytest.approx(1.0)  # 1 mm
+        assert err[0, 0] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestKalman:
+    def test_smoother_reduces_noise(self, rng):
+        n = 30
+        true_params = np.cumsum(rng.normal(scale=1e-5, size=(n, 6)), axis=0)
+        meas_noise = 2e-4
+        mats, vcms = [], []
+        for k in range(n):
+            noisy = true_params[k] + rng.normal(scale=meas_noise, size=6)
+            mats.append(small_angle_matrix(noisy))
+            vcms.append(np.eye(6) * meas_noise ** 2)
+        sm = kalman_smooth_transforms(mats, vcms, process_noise=1e-10)
+        raw_err = np.abs(np.stack(
+            [matrix_to_params_gon(m) / np.array([ARC_TO_GON] * 3 + [1] * 3)
+             for m in mats]) - true_params)
+        sm_err = np.abs(sm.params - true_params)
+        assert sm_err.mean() < raw_err.mean() * 0.6
+        assert sm.covariances.shape == (n, 6, 6)
+        # smoothed covariance strictly tighter than measurement covariance
+        assert np.trace(sm.covariances[n // 2]) < np.trace(vcms[n // 2])
+
+    def test_empty_and_single(self):
+        sm = kalman_smooth_transforms([], [])
+        assert sm.params.shape == (0, 6)
+        m = small_angle_matrix([1e-4, 0, 0, 1e-3, 0, 0])
+        sm = kalman_smooth_transforms([m], [np.eye(6) * 1e-8])
+        np.testing.assert_allclose(sm.trans_mats[0], m, atol=1e-9)
