@@ -31,6 +31,9 @@ SYN = "/root/reference/python/data/data_synthetic"
 def main() -> int:
     import jax
 
+    from piecewise_icp_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from piecewise_icp_tpu.config import PiecewiseICPConfig
     from piecewise_icp_tpu.io import formats, read_pcd
     from piecewise_icp_tpu.models.pairwise import register_pair

@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--kalman", action="store_true")
     args = ap.parse_args()
 
+    from piecewise_icp_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from piecewise_icp_tpu.config import PiecewiseICPConfig
     from piecewise_icp_tpu.io import formats
     from piecewise_icp_tpu.models.four_d import run_4d

@@ -32,8 +32,19 @@ def main(argv=None) -> int:
     p_4d.add_argument("--overlap-thd", type=float, default=0.75)
     p_4d.add_argument("--ground-truth", default=None)
     p_4d.add_argument("--kalman", action="store_true")
+    p_4d.add_argument("--shard", type=int, default=0,
+                      help="this worker's shard index in an epoch fleet")
+    p_4d.add_argument("--shards", type=int, default=1,
+                      help="total workers splitting the pair list")
+    p_4d.add_argument("--resume", action="store_true",
+                      help="reuse finished pairs from <out>/pairs/*.npz")
+    p_4d.add_argument("--no-finalize", action="store_true",
+                      help="skip chaining/accuracy (another shard will)")
 
     args = ap.parse_args(argv)
+
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.cmd == "pair":
         from .models.pairwise import piecewise_icp_pair_call
@@ -44,6 +55,10 @@ def main(argv=None) -> int:
         ok = piecewise_icp_4d_call(args.config, args.start_epoch,
                                    args.epochs, args.mode, args.overlap_thd,
                                    ground_truth=args.ground_truth,
+                                   shard_index=args.shard,
+                                   shard_count=args.shards,
+                                   resume=args.resume,
+                                   finalize=not args.no_finalize,
                                    **overrides)
     return 0 if ok else 1
 

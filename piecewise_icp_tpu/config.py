@@ -81,7 +81,9 @@ class PiecewiseICPConfig:
     # ---- Kalman smoothing of the transform time series (paper feature;
     #      absent from the released reference code, required by BASELINE) ----
     kalman_enabled: bool = False
-    kalman_process_noise: float = 1e-8  # diag process noise [gon^2 / m^2]
+    # diag process noise [rad^2 / m^2]; "auto" matches it to the observed
+    # epoch-to-epoch increments (see models/kalman.py)
+    kalman_process_noise: object = "auto"
 
     # ---- TPU-build specific ----
     backend: str = "auto"          # "auto" | "tpu" | "cpu"

@@ -101,6 +101,8 @@ def _find_ground_truth(cfg: PiecewiseICPConfig,
 def piecewise_icp_4d_call(confile: str, start_epoch: int, epoch_num: int,
                           pair_mode: int, overlap_thd: float = 0.75,
                           ground_truth: Optional[str] = None,
+                          shard_index: int = 0, shard_count: int = 1,
+                          resume: bool = False, finalize: bool = True,
                           **overrides) -> bool:
     """Drop-in equivalent of the reference C ABI entry
     ``PiecewiseICP_4D_call`` (Registration.h:36)."""
@@ -110,15 +112,31 @@ def piecewise_icp_4d_call(confile: str, start_epoch: int, epoch_num: int,
         log.error("cannot read configuration file: %s", e)
         return False
     return run_4d(cfg, start_epoch, epoch_num, pair_mode, overlap_thd,
-                  ground_truth=ground_truth)
+                  ground_truth=ground_truth, shard_index=shard_index,
+                  shard_count=shard_count, resume=resume, finalize=finalize)
 
 
 def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
            pair_mode: int, overlap_thd: float = 0.75,
-           ground_truth: Optional[str] = None) -> bool:
+           ground_truth: Optional[str] = None,
+           shard_index: int = 0, shard_count: int = 1,
+           resume: bool = False, finalize: bool = True) -> bool:
+    """Run the 4D campaign, optionally as one shard of an epoch fleet.
+
+    Epoch-level data parallelism (new vs the strictly serial reference,
+    SURVEY.md §2.4): every pairwise registration is independent given the
+    pair plan, so a fleet of hosts splits the pair list round-robin
+    (``shard_index``/``shard_count``) over a shared filesystem.  Each
+    finished pair is persisted as ``pairs/pair_NNNN.npz`` — the durable
+    unit of work — so any shard (or a later ``resume=True`` run) can
+    pick up where a crashed one stopped, and whichever invocation sees
+    the full set performs the chaining/smoothing/accuracy finalisation.
+    """
     timer = PhaseTimer()
     input_folder, out_folder = cfg.path1, cfg.path2
     os.makedirs(out_folder, exist_ok=True)
+    pairs_dir = os.path.join(out_folder, "pairs")
+    os.makedirs(pairs_dir, exist_ok=True)
 
     files, times = scan_epoch_folder(input_folder, cfg.epoch_prefix,
                                      cfg.epoch_digits)
@@ -138,9 +156,10 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
     # ---- per-pair registrations (Registration.cpp:89-187) ----
     mode_name = _mode_name(pair_mode)
     ts_list: List[int] = []
-    tm_list: List[np.ndarray] = []
-    vcm_list: List[np.ndarray] = []
+    tm_list: List[Optional[np.ndarray]] = []
+    vcm_list: List[Optional[np.ndarray]] = []
     failed: List[int] = []
+    missing: List[int] = []
     for i in range(start_epoch, epoch_num - 1):
         step = i - start_epoch + 1
         if pair_mode > 0:
@@ -149,29 +168,57 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
             ref_idx = start_epoch + reg_pairs[i + 1 - start_epoch]
         else:
             ref_idx = start_epoch
+        ts_list.append(times[i + 1])
+        pair_npz = os.path.join(pairs_dir, f"pair_{step:04d}.npz")
+
+        # resume / other-shard pairs come from the durable per-pair files
+        if os.path.exists(pair_npz) and (resume or
+                                         (step - 1) % shard_count
+                                         != shard_index):
+            d = np.load(pair_npz)
+            tm_list.append(d["tm"])
+            vcm_list.append(d["vcm"])
+            if bool(d.get("failed", False)):
+                failed.append(step)
+            continue
+        if (step - 1) % shard_count != shard_index:
+            tm_list.append(None)
+            vcm_list.append(None)
+            missing.append(step)
+            continue
+
         log.info("=== pair %d: epoch %d (target) <- epoch %d (source) ===",
                  step, times[ref_idx], times[i + 1])
-
         cloud1 = _load_cloud_cached(files[ref_idx])
         cloud2 = _load_cloud_cached(files[i + 1])
-        ts_list.append(times[i + 1])
         try:
             with timer.phase("pair", step=step):
                 result = register_pair(cloud1, cloud2, cfg,
                                        sor_mult=cfg.sor_std_mult_4d)
+            tm, vcm, was_failed = result.trans_mat, result.vcm, False
+            prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
+            write_pair_report(prefix, result)
         except PwICPError as e:
             log.error("step %d failed (%s); skipping to next", step, e)
             failed.append(step)
             # placeholder keeps chaining indices aligned; flagged by the
             # huge variance (reference drops the block instead,
             # Registration.cpp:145-147, which corrupts its chaining read)
-            tm_list.append(np.eye(4))
-            vcm_list.append(np.eye(6) * 1e6)
-            continue
-        tm_list.append(result.trans_mat)
-        vcm_list.append(result.vcm)
-        prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
-        write_pair_report(prefix, result)
+            tm, vcm, was_failed = np.eye(4), np.eye(6) * 1e6, True
+        tm_list.append(tm)
+        vcm_list.append(vcm)
+        np.savez(pair_npz, tm=tm, vcm=vcm, failed=was_failed,
+                 ts=times[i + 1])
+
+    if missing:
+        log.info("shard %d/%d: %d pairs done here; %d pairs belong to "
+                 "other shards and are not yet on disk — skipping "
+                 "finalisation (re-run with resume=True once all shards "
+                 "finish)", shard_index, shard_count,
+                 sum(t is not None for t in tm_list), len(missing))
+        return len(failed) == 0
+    if not finalize:
+        return len(failed) == 0
 
     # durable per-pair stream (checkpoint grain)
     formats.write_trans_matrices(os.path.join(out_folder, "TransMatrices.txt"),

@@ -42,13 +42,18 @@ def _params_from_matrix(m: np.ndarray) -> np.ndarray:
 
 def kalman_smooth_transforms(trans_mats: Sequence[np.ndarray],
                              vcms: Sequence[np.ndarray],
-                             process_noise: float | np.ndarray = 1e-8
+                             process_noise: float | str | np.ndarray = "auto"
                              ) -> SmoothedTrajectory:
     """RTS-smooth a chained transform sequence.
 
     ``trans_mats``/``vcms`` are the per-epoch to-reference transforms and
     covariances (the outputs of :func:`chaining.chain_to_reference`).
-    ``process_noise`` is the diagonal random-walk intensity (scalar or [6]).
+    ``process_noise`` is the diagonal random-walk intensity (scalar or
+    per-component [6]); the default ``"auto"`` matches it to the data by
+    variance decomposition: Var(z_k - z_{k-1}) = Q + R_k + R_{k-1}, so
+    Q = max(Var(diff z) - 2 mean(diag R), floor).  A fixed tiny Q on a
+    sequence with real epoch-to-epoch motion would otherwise flatten the
+    trajectory instead of denoising it.
     """
     n = len(trans_mats)
     if n == 0:
@@ -61,8 +66,18 @@ def kalman_smooth_transforms(trans_mats: Sequence[np.ndarray],
         d = np.diag(r[k])
         floor = max(np.max(d) * 1e-12, 1e-18)
         r[k] = r[k] + np.eye(6) * floor
-    q = np.eye(6) * process_noise if np.isscalar(process_noise) \
-        else np.diag(np.asarray(process_noise, dtype=np.float64))
+    if isinstance(process_noise, str) and process_noise == "auto":
+        mean_r = np.mean([np.diag(rk) for rk in r], axis=0)
+        if n >= 3:
+            inc_var = np.var(np.diff(z, axis=0), axis=0)
+        else:
+            inc_var = 4.0 * mean_r  # too short to estimate: track closely
+        q_diag = np.maximum(inc_var - 2.0 * mean_r, mean_r)
+        q = np.diag(q_diag)
+    elif np.isscalar(process_noise):
+        q = np.eye(6) * float(process_noise)
+    else:
+        q = np.diag(np.asarray(process_noise, dtype=np.float64))
 
     eye = np.eye(6)
     x_pred = np.zeros((n, 6))

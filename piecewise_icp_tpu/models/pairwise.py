@@ -95,6 +95,26 @@ def write_pair_report(out_prefix: str | pathlib.Path,
         write_pcd(prefix + "RegisteredSourceCloud.pcd", reg)
 
 
+def write_visualizations(out_prefix: str, result: RegistrationOutput) -> None:
+    """Export the reference's PCLVisualizer views as colored PCDs
+    (CommonFunc.cpp:456-493 / Segmentation.cpp:164-190 — headless pods
+    have no display, so views become files)."""
+    from ..utils import viz
+
+    core = result.core
+    if core.patches2 is None:
+        return
+    prefix = str(out_prefix)
+    viz.export_colored_patches(prefix + "Patches1_colored.pcd",
+                               core.patches1.points, core.patches1.labels)
+    viz.export_colored_patches(prefix + "Patches2_colored.pcd",
+                               core.patches2.points, core.patches2.labels)
+    if core.stable_point_mask is not None:
+        viz.export_stable_unstable(prefix + "StableUnstable2.pcd",
+                                   core.patches2.points,
+                                   core.stable_point_mask)
+
+
 def piecewise_icp_pair_call(confile: str, outfile: str,
                             **overrides) -> bool:
     """Drop-in equivalent of the reference C ABI entry
@@ -114,5 +134,7 @@ def piecewise_icp_pair_call(confile: str, outfile: str,
         return False
     result = register_pair(pts1, pts2, cfg)
     write_pair_report(outfile, result, source_points=pts2)
+    if cfg.visual:
+        write_visualizations(outfile, result)
     log.info("transformation results saved to %s", outfile)
     return True

@@ -77,6 +77,9 @@ class PairResult:
     iterations: int
     stable_ratio: float        # stable / total patch points, last iteration
     num_patches: tuple         # (P1, P2)
+    patches1: "PatchSet | None" = None
+    patches2: "PatchSet | None" = None
+    stable_point_mask: "np.ndarray | None" = None  # over patches2.points
 
 
 @functools.partial(jax.jit, static_argnames=("icp_max_iterations",))
@@ -292,6 +295,9 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                         " terminating", max_outer)
             break
 
+    n2 = patches2.points.shape[0]
     return PairResult(trans_mat=trans_mat, vcm=vcm, dt_series=dt_series,
                       iterations=iteration, stable_ratio=stable_ratio,
-                      num_patches=(p1, p2))
+                      num_patches=(p1, p2), patches1=patches1,
+                      patches2=patches2,
+                      stable_point_mask=pt_stable[:n2])

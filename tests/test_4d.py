@@ -92,6 +92,42 @@ class Test4DPipeline:
         assert tbl.shape == (n_epochs - 1, 13)
         assert (tbl[:, 7:] >= 0).all()
 
+    def test_sharded_fleet_and_resume(self, tmp_path, rng):
+        """Epoch-fleet execution: two shards split the pair list over a
+        shared output dir; the second shard finalises; a resume run does no
+        re-registration and reproduces the same chained outputs."""
+        n_epochs = 4
+        data_dir, gt = _make_series(tmp_path, rng, n_epochs)
+        out_dir = tmp_path / "out_sh"
+        cfg = small_test_config(path1=str(data_dir),
+                                path2=str(out_dir) + os.sep)
+        gt_file = str(tmp_path / "defined_transformations.txt")
+
+        # shard 0/2 runs pairs 1 and 3; cannot finalise (pair 2 missing)
+        ok0 = run_4d(cfg, 0, n_epochs, 0, ground_truth=gt_file,
+                     shard_index=0, shard_count=2)
+        assert ok0
+        assert (out_dir / "pairs" / "pair_0001.npz").exists()
+        assert (out_dir / "pairs" / "pair_0003.npz").exists()
+        assert not (out_dir / "pairs" / "pair_0002.npz").exists()
+        assert not (out_dir / "TransMatrices_toRef.txt").exists()
+
+        # shard 1/2 runs pair 2, sees the full set, finalises
+        ok1 = run_4d(cfg, 0, n_epochs, 0, ground_truth=gt_file,
+                     shard_index=1, shard_count=2)
+        assert ok1
+        assert (out_dir / "TransMatrices_toRef.txt").exists()
+        first = (out_dir / "TransMatrices_toRef.txt").read_text()
+
+        # resume: nothing re-registers, outputs identical
+        import time
+        t0 = time.perf_counter()
+        ok2 = run_4d(cfg, 0, n_epochs, 0, ground_truth=gt_file, resume=True)
+        resume_s = time.perf_counter() - t0
+        assert ok2
+        assert (out_dir / "TransMatrices_toRef.txt").read_text() == first
+        assert resume_s < 5.0  # pure file replay, no registration
+
     def test_kalman_output_consistent(self, tmp_path, rng):
         n_epochs = 4
         data_dir, gt = _make_series(tmp_path, rng, n_epochs)
