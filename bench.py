@@ -22,8 +22,9 @@ import time
 
 import numpy as np
 
-# Round-1 reference point (first TPU measurement of this repo).
-BASELINE_EPOCHS_PER_S = 0.25
+# Round-1 reference point: the first end-to-end TPU measurement of this
+# repo (pre-optimisation), so vs_baseline tracks real speedup across rounds.
+BASELINE_EPOCHS_PER_S = 0.0924
 
 SYN = "/root/reference/python/data/data_synthetic"
 
@@ -59,9 +60,12 @@ def main() -> int:
     cold = time.perf_counter() - t0
 
     # warm run — the steady-state per-pair cost of a 4D campaign
+    from piecewise_icp_tpu.utils.logging import GLOBAL_TIMER
+    GLOBAL_TIMER.records.clear()
     t0 = time.perf_counter()
     result = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d)
     warm = time.perf_counter() - t0
+    fine = GLOBAL_TIMER.summary()
 
     err = (matrix_to_params_gon(result.trans_mat)
            - matrix_to_params_gon(gt[1]))
@@ -80,6 +84,7 @@ def main() -> int:
         "trans_err_mm": round(trans_err_mm, 3),
         "phases": {k: round(v, 2)
                    for k, v in result.timer.summary().items()},
+        "fine_phases": {k: round(v, 3) for k, v in fine.items()},
         "device": str(devices[0]),
     }
     print(json.dumps(out))

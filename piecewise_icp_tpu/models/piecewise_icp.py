@@ -42,11 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PiecewiseICPConfig
+from ..ops.grid_nn import build_grid, grid_percentile
 from ..ops.preprocess import percentile_c2c
 from ..ops.transform import apply_transform, masked_aabb, \
     bounding_box_corner_change
 from ..utils.errors import DegenerateGeometryError
-from ..utils.logging import log
+from ..utils.logging import gphase, log
 from .icp import _masked_nn, compute_vcm, point_to_plane_icp
 from .segmentation import PatchSet, build_patches
 
@@ -146,6 +147,75 @@ def _bb_change(cloud2, cloud2_mask, t_icp):
     return bounding_box_corner_change(bb_min, bb_max, t_icp)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("icp_max_iterations", "grid_max_run"))
+def _iteration_step(ct1, n1, std_ct1, ct1_mask,
+                    ct2, bp2, std_bp2, ct2_mask,
+                    cloud2, cloud2_mask, labels2,
+                    g_pts, g_starts, g_origin, g_dims, g_h,
+                    curr_dt, dt_min, max_lod, sv_sum,
+                    percentile, need_percentile,
+                    icp_max_iterations: int = 100,
+                    grid_max_run: int = 32,
+                    icp_trans_eps: float = 1e-8,
+                    icp_fitness_eps: float = 1e-6):
+    """One COMPLETE Piecewise-ICP iteration as a single device program.
+
+    Fuses classification + inner ICP + bounding-box metric + stage-1
+    percentile (grid NN against the static cloud1 index) + state update, so
+    the host pays one dispatch round-trip per iteration instead of five —
+    significant when the TPU is reached over a network tunnel.
+
+    ``need_percentile`` (traced bool) skips the percentile work via
+    ``lax.cond`` once the DT schedule has left stage 1.
+    """
+    from ..ops.grid_nn import _grid_query
+
+    t_icp, stable, lod_min, n_stable, icp_iters = _classify_and_align(
+        ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
+        curr_dt, dt_min, max_lod, sv_sum,
+        icp_max_iterations=icp_max_iterations,
+        icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps)
+
+    # bounding-box corner change (Registration.cpp:880-888)
+    bb_min, bb_max = masked_aabb(cloud2, cloud2_mask)
+    max_bb = bounding_box_corner_change(bb_min, bb_max, t_icp)
+
+    # stable patch points of PC2 (pre-transform), for the stage-1 percentile
+    safe_lab = jnp.clip(labels2, 0, stable.shape[0] - 1)
+    pt_stable = cloud2_mask & (labels2 >= 0) & stable[safe_lab]
+
+    def compute_percentile(_):
+        _, d, resolved = _grid_query(cloud2, pt_stable, g_pts, g_starts,
+                                     g_origin, g_dims, grid_max_run, g_h)
+        n = jnp.sum(pt_stable)
+        idx = jnp.clip((n * percentile).astype(jnp.int32), 0,
+                       cloud2.shape[0] - 1)
+        ok = resolved | (~pt_stable)
+        n_resolved = jnp.sum(ok & pt_stable)
+        d_grid = jnp.sort(jnp.where(ok, d, jnp.inf))[idx]
+        # exact when the percentile index lands in the resolved block (all
+        # resolved distances <= h sort before the +inf placeholders); the
+        # HOST re-runs an exact brute pass when exact=False — keeping the
+        # brute kernel out of this program (compiling a merged cond over
+        # both paths takes minutes for real cloud sizes)
+        return d_grid, idx < n_resolved
+
+    d75, d75_exact = jax.lax.cond(
+        need_percentile, compute_percentile,
+        lambda _: (jnp.asarray(jnp.inf, ct1.dtype), jnp.asarray(True)),
+        operand=None)
+
+    # apply transform to the source state (Registration.cpp:942-954)
+    new_cloud2 = apply_transform(cloud2, t_icp)
+    new_ct2 = apply_transform(ct2, t_icp)
+    new_bp2 = apply_transform(bp2, t_icp)
+    n_pt_stable = jnp.sum(pt_stable)
+    return (t_icp, stable, lod_min, n_stable, icp_iters, max_bb, d75,
+            d75_exact, pt_stable, n_pt_stable, new_cloud2, new_ct2,
+            new_bp2)
+
+
 def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                   res1: float, res2: float,
                   cfg: Optional[PiecewiseICPConfig] = None,
@@ -174,9 +244,9 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
     # --- patch generation (Registration.cpp:653-664) ---
     if patches1 is None:
-        patches1 = build_patches(cloud1, sv1, cfg)
+        patches1 = build_patches(cloud1, sv1, cfg, resolution=res1)
     if patches2 is None:
-        patches2 = build_patches(cloud2, sv2, cfg)
+        patches2 = build_patches(cloud2, sv2, cfg, resolution=res2)
     p1, p2 = patches1.num_patches, patches2.num_patches
     log.info("selected patches: PC1=%d PC2=%d", p1, p2)
     if p2 < cfg.min_stable_patches or p1 < cfg.min_stable_patches:
@@ -192,6 +262,14 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     ct1_mask = jnp.asarray(_mask(p1, pm))
     cloud1_j = jnp.asarray(_pad(patches1.points, cm))
     cloud1_mask = jnp.asarray(_mask(patches1.points.shape[0], cm))
+    # static target grid for the stage-1 percentile NN (cloud1 never moves);
+    # grid arrays uploaded once, reused by every fused iteration step
+    cloud1_grid = build_grid(patches1.points, h=max(4.0 * res1, 1e-6))
+    g_pts = jnp.asarray(cloud1_grid.points)
+    g_starts = jnp.asarray(cloud1_grid.cell_starts)
+    g_origin = jnp.asarray(cloud1_grid.origin)
+    g_dims = jnp.asarray(cloud1_grid.dims, jnp.int32)
+    g_h = jnp.asarray(cloud1_grid.h, jnp.float32)
 
     # device-resident mutable source state
     ct2 = jnp.asarray(_pad(patches2.centroids, pm))
@@ -201,6 +279,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     cloud2_j = jnp.asarray(_pad(patches2.points, cm))
     cloud2_mask = jnp.asarray(_mask(patches2.points.shape[0], cm))
     labels2 = _pad(patches2.labels, cm, value=-1)
+    labels2_j = jnp.asarray(labels2)
 
     dt_min = float(cfg.dt_min)
     max_lod = dt_min * cfg.lod_max_ratio
@@ -220,26 +299,32 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         if curr_dt <= dt_min:  # DT floor (Registration.cpp:724-725)
             curr_dt = dt_min
 
-        t_icp, stable, lod_min, n_stable, icp_iters = _classify_and_align(
-            ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
-            jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
-            icp_max_iterations=cfg.icp_max_iterations,
-            icp_trans_eps=cfg.icp_transformation_eps,
-            icp_fitness_eps=cfg.icp_fitness_eps)
+        with gphase("core.iteration"):
+            (t_icp, stable, lod_min, n_stable, icp_iters, max_bb, d75,
+             d75_exact, pt_stable_j, n_pt_stable, new_cloud2, new_ct2,
+             new_bp2) = _iteration_step(
+                ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
+                cloud2_j, cloud2_mask, labels2_j,
+                g_pts, g_starts, g_origin, g_dims, g_h,
+                jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
+                cfg.dtinit_percentile, jnp.asarray(not to_stage2),
+                icp_max_iterations=cfg.icp_max_iterations,
+                grid_max_run=cloud1_grid.max_run,
+                icp_trans_eps=cfg.icp_transformation_eps,
+                icp_fitness_eps=cfg.icp_fitness_eps)
+            n_stable = int(n_stable)
 
-        n_stable = int(n_stable)
         lod_min = float(lod_min)
         if n_stable < cfg.min_stable_patches:
             raise DegenerateGeometryError(
                 f"only {n_stable} stable patches left — not enough "
                 f"overlapping area (iteration {iteration})")
 
-        stable_np = np.asarray(stable)
-        pt_stable = (labels2 >= 0) & stable_np[np.clip(labels2, 0, None)]
+        # only scalars cross the tunnel per iteration; the boolean masks
+        # stay device-resident until the final iteration needs them
         n_patch_pts = int((labels2 >= 0).sum())
-        stable_ratio = float(pt_stable.sum()) / max(n_patch_pts, 1)
-
-        max_bb = float(_bb_change(cloud2_j, cloud2_mask, t_icp))
+        stable_ratio = int(n_pt_stable) / max(n_patch_pts, 1)
+        max_bb = float(max_bb)
 
         # ---- stage transitions (Registration.cpp:891-935) ----
         if (not to_stage2) and max_bb < dt_min:
@@ -250,10 +335,15 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             log.info("DT changed to Stage 3 (End)")
 
         if not to_stage2:
-            d75 = float(percentile_c2c(
-                cloud1_j, cloud2_j, cfg.dtinit_percentile,
-                t_mask=cloud1_mask,
-                s_mask=jnp.asarray(pt_stable) & cloud2_mask))
+            if not bool(d75_exact):
+                # heavy misalignment: exact percentile via the brute path
+                with gphase("core.percentile_exact"):
+                    d75 = float(percentile_c2c(
+                        cloud1_j, cloud2_j, cfg.dtinit_percentile,
+                        t_mask=cloud1_mask,
+                        s_mask=jnp.asarray(pt_stable_j)))
+            else:
+                d75 = float(d75)
             if curr_dt > d75:
                 curr_dt = d75  # monotone decrease via percentile
             else:
@@ -275,12 +365,14 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         # ---- final-iteration VCM, from PRE-transform stable centroids
         #      (Registration.cpp:957-961) ----
         if to_stage3 or iteration >= max_outer:
-            vcm = compute_vcm(np.asarray(ct1), np.asarray(n1),
-                              np.asarray(ct1_mask), np.asarray(ct2),
-                              stable_np)
+            with gphase("core.vcm"):
+                vcm = compute_vcm(np.asarray(ct1), np.asarray(n1),
+                                  np.asarray(ct1_mask), np.asarray(ct2),
+                                  np.asarray(stable))
 
-        # ---- apply transform to source state (Registration.cpp:942-954) --
-        cloud2_j, ct2, bp2 = _apply_state(t_icp, cloud2_j, ct2, bp2)
+        # ---- adopt the transformed state (computed inside the fused step,
+        #      Registration.cpp:942-954) ----
+        cloud2_j, ct2, bp2 = new_cloud2, new_ct2, new_bp2
         trans_mat = np.asarray(t_icp, dtype=np.float64) @ trans_mat
         dt_series.append(curr_dt)
 
@@ -300,4 +392,4 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                       iterations=iteration, stable_ratio=stable_ratio,
                       num_patches=(p1, p2), patches1=patches1,
                       patches2=patches2,
-                      stable_point_mask=pt_stable[:n2])
+                      stable_point_mask=np.asarray(pt_stable_j)[:n2])

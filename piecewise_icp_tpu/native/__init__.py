@@ -29,8 +29,8 @@ class NativeBuildError(RuntimeError):
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_LIB)]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           "-std=c++17", str(_SRC), "-o", str(_LIB)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -61,6 +61,10 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
         lib.pwicp_supervoxel_segment.restype = ctypes.c_int
+        lib.pwicp_pca_normals.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        lib.pwicp_pca_normals.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -125,3 +129,19 @@ def supervoxel_segment(points: np.ndarray, normals: np.ndarray,
     if nsv < 0:
         raise RuntimeError("pwicp_supervoxel_segment failed")
     return labels, int(nsv)
+
+
+def pca_normals(points: np.ndarray, neighbors: np.ndarray) -> np.ndarray:
+    """Per-point PCA normals from a kNN graph (host, OpenMP).
+
+    Host twin of models/segmentation.estimate_normals — avoids shipping the
+    [N, k] graph across the device tunnel when segmentation runs natively.
+    """
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    nbr = np.ascontiguousarray(neighbors, dtype=np.int32)
+    n, k = nbr.shape
+    out = np.empty((n, 3), dtype=np.float32)
+    rc = load().pwicp_pca_normals(_c_f32(pts), _c_i32(nbr), n, k, _c_f32(out))
+    if rc != 0:
+        raise RuntimeError("pwicp_pca_normals failed")
+    return out

@@ -20,6 +20,10 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 pwicp_host.cpp -o libpwicp_host.so
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include <algorithm>
 #include <cfloat>
 #include <cmath>
@@ -216,7 +220,106 @@ struct VCCSMetric {
 
 }  // namespace
 
+namespace {
+
+// Closed-form smallest eigenvector of a 3x3 covariance (the same
+// trigonometric solve as the device kernel in ops/eigh3.py and the
+// reference's pca_estimate_normals.h:77-107).
+void smallest_eigvec(double a00, double a01, double a02, double a11,
+                     double a12, double a22, float* out) {
+    const double q = (a00 + a11 + a22) / 3.0;
+    const double b00 = a00 - q, b11 = a11 - q, b22 = a22 - q;
+    const double p2 = b00 * b00 + b11 * b11 + b22 * b22 +
+                      2.0 * (a01 * a01 + a02 * a02 + a12 * a12);
+    if (p2 <= 0.0) {
+        out[0] = 0.f; out[1] = 0.f; out[2] = 1.f;
+        return;
+    }
+    const double p = std::sqrt(p2 / 6.0);
+    const double det_b = b00 * (b11 * b22 - a12 * a12) -
+                         a01 * (a01 * b22 - a12 * a02) +
+                         a02 * (a01 * a12 - b11 * a02);
+    double r = det_b / (2.0 * p * p * p);
+    r = std::max(-1.0, std::min(1.0, r));
+    const double phi = std::acos(r) / 3.0;
+    const double eig = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);
+
+    // rows of (A - eig I); pick the largest cross product of two rows
+    const double r0[3] = {a00 - eig, a01, a02};
+    const double r1[3] = {a01, a11 - eig, a12};
+    const double r2[3] = {a02, a12, a22 - eig};
+    auto cross = [](const double* u, const double* v, double* w) {
+        w[0] = u[1] * v[2] - u[2] * v[1];
+        w[1] = u[2] * v[0] - u[0] * v[2];
+        w[2] = u[0] * v[1] - u[1] * v[0];
+    };
+    double c01[3], c02[3], c12[3];
+    cross(r0, r1, c01);
+    cross(r0, r2, c02);
+    cross(r1, r2, c12);
+    auto n2 = [](const double* v) {
+        return v[0] * v[0] + v[1] * v[1] + v[2] * v[2];
+    };
+    const double* best = c01;
+    double bn = n2(c01);
+    if (n2(c02) > bn) { best = c02; bn = n2(c02); }
+    if (n2(c12) > bn) { best = c12; bn = n2(c12); }
+    if (bn <= 1e-40) {
+        out[0] = 0.f; out[1] = 0.f; out[2] = 1.f;
+        return;
+    }
+    const double inv = 1.0 / std::sqrt(bn);
+    out[0] = (float)(best[0] * inv);
+    out[1] = (float)(best[1] * inv);
+    out[2] = (float)(best[2] * inv);
+}
+
+}  // namespace
+
 extern "C" {
+
+// Per-point PCA normals from a kNN graph (neighbors [n, k], -1 padded).
+// Host equivalent of PCAEstimateNormal (Segmentation.cpp:42-44): smallest
+// eigenvector of the neighbourhood covariance.  Returns 0 on success.
+int pwicp_pca_normals(const float* points, const int32_t* neighbors, int n,
+                      int k, float* out_normals) {
+    if (n <= 0 || k <= 0) return 1;
+#pragma omp parallel for schedule(static, 1024)
+    for (int i = 0; i < n; ++i) {
+        double sx = 0, sy = 0, sz = 0;
+        int m = 0;
+        const int32_t* nb = neighbors + (int64_t)i * k;
+        for (int j = 0; j < k; ++j) {
+            const int v = nb[j];
+            if (v < 0) continue;
+            sx += points[3 * v];
+            sy += points[3 * v + 1];
+            sz += points[3 * v + 2];
+            ++m;
+        }
+        if (m == 0) {
+            out_normals[3 * i] = 0.f;
+            out_normals[3 * i + 1] = 0.f;
+            out_normals[3 * i + 2] = 1.f;
+            continue;
+        }
+        const double mx = sx / m, my = sy / m, mz = sz / m;
+        double a00 = 0, a01 = 0, a02 = 0, a11 = 0, a12 = 0, a22 = 0;
+        for (int j = 0; j < k; ++j) {
+            const int v = nb[j];
+            if (v < 0) continue;
+            const double x = points[3 * v] - mx;
+            const double y = points[3 * v + 1] - my;
+            const double z = points[3 * v + 2] - mz;
+            a00 += x * x; a01 += x * y; a02 += x * z;
+            a11 += y * y; a12 += y * z; a22 += z * z;
+        }
+        const double t = 1.0 / m;
+        smallest_eigvec(a00 * t, a01 * t, a02 * t, a11 * t, a12 * t,
+                        a22 * t, out_normals + 3 * i);
+    }
+    return 0;
+}
 
 // Exact kNN graph (self included, ascending by distance).  Cell size < 0
 // selects an automatic density-based value.  Returns 0 on success.
@@ -225,6 +328,7 @@ int pwicp_knn_graph(const float* points, int n, int k, double cell_size,
     if (n <= 0 || k <= 0) return 1;
     const double cell = cell_size > 0 ? cell_size : auto_cell_size(points, n);
     UniformGrid grid(points, n, cell);
+#pragma omp parallel for schedule(dynamic, 256)
     for (int i = 0; i < n; ++i) grid.knn(i, k, out_idx + (int64_t)i * k);
     return 0;
 }

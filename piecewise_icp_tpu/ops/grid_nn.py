@@ -44,6 +44,18 @@ def _bucket(n: int, base: int = 8) -> int:
     return b
 
 
+
+def _pad_subset(sub: np.ndarray, total: int) -> np.ndarray:
+    """Pad a fallback index subset to a power-of-two bucket (repeating the
+    first element) so the brute kernels compile once per bucket."""
+    b = _bucket(max(len(sub), 1), base=512)
+    b = min(b, total) if total >= 512 else len(sub)
+    if b <= len(sub):
+        return sub
+    return np.concatenate([sub, np.full(b - len(sub), sub[0],
+                                        dtype=sub.dtype)])
+
+
 @dataclasses.dataclass
 class GridIndex:
     """Host-built uniform-grid index over a target cloud."""
@@ -79,6 +91,14 @@ def build_grid(targets: np.ndarray, h: float,
     n_cells = dx * dy * dz
     starts = np.searchsorted(lin_sorted, np.arange(n_cells + 1)).astype(
         np.int32)
+    # pad the CSR array to a size bucket so the device kernels compile once
+    # per bucket instead of once per cloud (padding repeats the total count,
+    # so out-of-range cells read empty runs)
+    starts_bucket = _bucket(n_cells + 1, base=4096)
+    if starts_bucket > starts.shape[0]:
+        starts = np.concatenate([
+            starts, np.full(starts_bucket - starts.shape[0], pts.shape[0],
+                            dtype=np.int32)])
     # max occupancy over any run of three consecutive z-cells
     counts = np.diff(starts)
     if dz >= 3:
@@ -94,13 +114,14 @@ def build_grid(targets: np.ndarray, h: float,
                      max_run=_bucket(max(max_run, 1)))
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_run", "q_tile"))
+@functools.partial(jax.jit, static_argnames=("max_run", "q_tile"))
 def _grid_query(queries, q_mask, sorted_pts, cell_starts, origin,
                 dims, max_run: int, h, q_tile: int = 2048):
     """Device query pass.  Returns (idx into sorted targets, dist,
-    resolved)."""
-    dx, dy, dz = dims
-    n_cells = dx * dy * dz
+    resolved).  ``dims`` is a traced [3] int32 vector so differently sized
+    grids reuse the same executable."""
+    dx, dy, dz = dims[0], dims[1], dims[2]
+    n_cells = jnp.minimum(dx * dy * dz, cell_starts.shape[0] - 1)
     f32 = queries.dtype
 
     qn = queries.shape[0]
@@ -110,40 +131,41 @@ def _grid_query(queries, q_mask, sorted_pts, cell_starts, origin,
 
     def per_tile(args):
         q, valid = args
+        qt = q.shape[0]
         cell = jnp.floor((q - origin) / h).astype(jnp.int32)
         cx = jnp.clip(cell[:, 0], 0, dx - 1)
         cy = jnp.clip(cell[:, 1], 0, dy - 1)
         cz = jnp.clip(cell[:, 2], 0, dz - 1)
-
-        best_d2 = jnp.full((q.shape[0],), jnp.inf, dtype=f32)
-        best_i = jnp.zeros((q.shape[0],), dtype=jnp.int32)
-
         z0 = jnp.clip(cz - 1, 0, dz - 1)
         z1 = jnp.clip(cz + 1, 0, dz - 1)
+
+        # nine (x, y) columns -> nine contiguous 3-z-cell runs per query
+        starts, lens = [], []
         for ox in (-1, 0, 1):
             x = jnp.clip(cx + ox, 0, dx - 1)
             for oy in (-1, 0, 1):
                 y = jnp.clip(cy + oy, 0, dy - 1)
                 base = (x * dy + y) * dz
-                run_start = cell_starts[jnp.clip(base + z0, 0, n_cells)]
-                run_end = cell_starts[jnp.clip(base + z1 + 1, 0, n_cells)]
-                run_len = run_end - run_start
+                s = cell_starts[jnp.clip(base + z0, 0, n_cells)]
+                e = cell_starts[jnp.clip(base + z1 + 1, 0, n_cells)]
+                starts.append(s)
+                lens.append(e - s)
+        run_start = jnp.stack(starts, axis=1)          # [Qt, 9]
+        run_len = jnp.stack(lens, axis=1)              # [Qt, 9]
 
-                def scan_k(k, carry):
-                    bd2, bi = carry
-                    slot = run_start + k
-                    ok = k < run_len
-                    cand = jnp.clip(slot, 0, sorted_pts.shape[0] - 1)
-                    cpt = sorted_pts[cand]
-                    diff = q - cpt
-                    d2 = jnp.sum(diff * diff, axis=1)
-                    d2 = jnp.where(ok, d2, jnp.inf)
-                    upd = d2 < bd2
-                    return (jnp.where(upd, d2, bd2),
-                            jnp.where(upd, cand, bi))
-
-                best_d2, best_i = jax.lax.fori_loop(
-                    0, max_run, scan_k, (best_d2, best_i))
+        # one block gather over all candidate slots
+        offs = jnp.arange(max_run, dtype=jnp.int32)
+        slots = run_start[:, :, None] + offs[None, None, :]   # [Qt, 9, M]
+        ok = offs[None, None, :] < run_len[:, :, None]
+        cand = jnp.clip(slots, 0, sorted_pts.shape[0] - 1)
+        flat = cand.reshape(qt, -1)                    # [Qt, 9*M]
+        cpts = sorted_pts[flat]                        # [Qt, 9*M, 3]
+        diff = cpts - q[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(ok.reshape(qt, -1), d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        best_d2 = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        best_i = jnp.take_along_axis(flat, j[:, None], axis=1)[:, 0]
 
         d = jnp.sqrt(jnp.maximum(best_d2, 0.0))
         found = jnp.isfinite(d)
@@ -177,7 +199,8 @@ def grid_nn1(queries: jnp.ndarray, grid: GridIndex,
 
     s_idx, dist, resolved = _grid_query(
         queries, q_mask, sorted_pts, starts, origin,
-        grid.dims, grid.max_run, jnp.asarray(grid.h, queries.dtype))
+        jnp.asarray(grid.dims, jnp.int32), grid.max_run,
+        jnp.asarray(grid.h, queries.dtype))
     idx = ids[s_idx]
     if not exact:
         return idx, dist
@@ -192,4 +215,137 @@ def grid_nn1(queries: jnp.ndarray, grid: GridIndex,
 
     all_resolved = jnp.all(resolved)
     return jax.lax.cond(all_resolved, no_fallback, with_fallback,
+                        operand=None)
+
+
+@functools.partial(jax.jit, static_argnames=("max_run", "k", "q_tile"))
+def _grid_query_k(queries, q_mask, sorted_pts, cell_starts, origin,
+                  dims, max_run: int, k: int, h, q_tile: int = 2048):
+    """k-NN over the 27-cell window.  Returns (idx [Q,k], dist [Q,k],
+    resolved [Q]) — resolved iff the k-th distance is <= h."""
+    dx, dy, dz = dims[0], dims[1], dims[2]
+    n_cells = jnp.minimum(dx * dy * dz, cell_starts.shape[0] - 1)
+
+    qn = queries.shape[0]
+    pad = (-qn) % q_tile
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qm = jnp.pad(q_mask, (0, pad))
+
+    def per_tile(args):
+        q, valid = args
+        qt = q.shape[0]
+        cell = jnp.floor((q - origin) / h).astype(jnp.int32)
+        cx = jnp.clip(cell[:, 0], 0, dx - 1)
+        cy = jnp.clip(cell[:, 1], 0, dy - 1)
+        cz = jnp.clip(cell[:, 2], 0, dz - 1)
+        z0 = jnp.clip(cz - 1, 0, dz - 1)
+        z1 = jnp.clip(cz + 1, 0, dz - 1)
+        starts, lens = [], []
+        for ox in (-1, 0, 1):
+            x = jnp.clip(cx + ox, 0, dx - 1)
+            for oy in (-1, 0, 1):
+                y = jnp.clip(cy + oy, 0, dy - 1)
+                base = (x * dy + y) * dz
+                s = cell_starts[jnp.clip(base + z0, 0, n_cells)]
+                e = cell_starts[jnp.clip(base + z1 + 1, 0, n_cells)]
+                starts.append(s)
+                lens.append(e - s)
+        run_start = jnp.stack(starts, axis=1)
+        run_len = jnp.stack(lens, axis=1)
+        offs = jnp.arange(max_run, dtype=jnp.int32)
+        slots = run_start[:, :, None] + offs[None, None, :]
+        ok = offs[None, None, :] < run_len[:, :, None]
+        cand = jnp.clip(slots, 0, sorted_pts.shape[0] - 1).reshape(qt, -1)
+        cpts = sorted_pts[cand]
+        diff = cpts - q[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(ok.reshape(qt, -1), d2, jnp.inf)
+        top_d2, sel = jax.lax.top_k(-d2, k)
+        top_d2 = -top_d2
+        top_idx = jnp.take_along_axis(cand, sel, axis=1)
+        d = jnp.sqrt(jnp.maximum(top_d2, 0.0))
+        resolved = (~valid) | (jnp.isfinite(d[:, -1]) & (d[:, -1] <= h))
+        d = jnp.where(valid[:, None], d, jnp.inf)
+        return top_idx, d, resolved
+
+    n_tiles = qp.shape[0] // q_tile
+    idx, dist, res = jax.lax.map(
+        per_tile, (qp.reshape(n_tiles, q_tile, 3),
+                   qm.reshape(n_tiles, q_tile)))
+    return (idx.reshape(-1, k)[:qn], dist.reshape(-1, k)[:qn],
+            res.reshape(-1)[:qn])
+
+
+def grid_knn(queries: jnp.ndarray, grid: GridIndex, k: int,
+             q_mask: jnp.ndarray | None = None,
+             exact: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN in the gridded targets (ascending); brute fallback when the
+    k-th neighbour of any query lies beyond the 27-cell window."""
+    from .nn import knn as brute_knn
+
+    if q_mask is None:
+        q_mask = jnp.ones((queries.shape[0],), dtype=bool)
+    sorted_pts = jnp.asarray(grid.points)
+    starts = jnp.asarray(grid.cell_starts)
+    origin = jnp.asarray(grid.origin)
+    ids = jnp.asarray(grid.ids)
+
+    s_idx, dist, resolved = _grid_query_k(
+        queries, q_mask, sorted_pts, starts, origin,
+        jnp.asarray(grid.dims, jnp.int32),
+        grid.max_run, k, jnp.asarray(grid.h, queries.dtype))
+    idx = ids[s_idx]
+    if not exact:
+        return idx, dist
+
+    def with_fallback(_):
+        b_idx, b_dist = brute_knn(queries, sorted_pts, k, q_mask=q_mask)
+        r = resolved[:, None]
+        return (jnp.where(r, idx, ids[b_idx]), jnp.where(r, dist, b_dist))
+
+    def no_fallback(_):
+        return idx, dist
+
+    return jax.lax.cond(jnp.all(resolved), no_fallback, with_fallback,
+                        operand=None)
+
+
+def grid_percentile(source: jnp.ndarray, grid: GridIndex, percentile: float,
+                    s_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """p-th percentile of source→target NN distances via the grid.
+
+    Exactness by order statistics: every query resolved in the 27-cell
+    window has an exact distance <= h, and every unresolved query's true
+    distance is > h, so sorting resolved-then-inf keeps the true order as
+    long as the percentile index lands inside the resolved block.  Only
+    when it does not (heavy misalignment) does the brute kernel run — via
+    ``lax.cond``, so the steady-state cost is the grid pass alone.
+
+    Index semantics match calArrayPercentileElement (CommonFunc.cpp:174-179).
+    """
+    if s_mask is None:
+        s_mask = jnp.ones((source.shape[0],), dtype=bool)
+    sorted_pts = jnp.asarray(grid.points)
+    starts = jnp.asarray(grid.cell_starts)
+    origin = jnp.asarray(grid.origin)
+
+    _, dist, resolved = _grid_query(
+        source, s_mask, sorted_pts, starts, origin,
+        jnp.asarray(grid.dims, jnp.int32),
+        grid.max_run, jnp.asarray(grid.h, source.dtype))
+    n = jnp.sum(s_mask)
+    idx = jnp.clip((n * percentile).astype(jnp.int32), 0,
+                   source.shape[0] - 1)
+    ok = resolved | (~s_mask)
+    n_resolved = jnp.sum(ok & s_mask)
+
+    def from_grid(_):
+        d = jnp.where(ok, dist, jnp.inf)
+        return jnp.sort(d)[idx]
+
+    def from_brute(_):
+        _, d = brute_nn1(source, sorted_pts, q_mask=s_mask)
+        return jnp.sort(jnp.where(jnp.isfinite(d), d, jnp.inf))[idx]
+
+    return jax.lax.cond(idx < n_resolved, from_grid, from_brute,
                         operand=None)

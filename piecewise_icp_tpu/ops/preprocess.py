@@ -15,8 +15,10 @@ the NN kernels.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +50,8 @@ def voxel_downsample(points: np.ndarray, leaf: float) -> np.ndarray:
 
 
 def sor_filter_mask(points: jnp.ndarray, mask: jnp.ndarray | None,
-                    k: int = 14, std_mult: float = 2.7) -> jnp.ndarray:
+                    k: int = 14, std_mult: float = 2.7,
+                    resolution: float | None = None) -> jnp.ndarray:
     """Statistical outlier removal: keep points whose mean distance to the
     ``k`` nearest neighbours is within mean + std_mult * std of the global
     distribution (PCL ``StatisticalOutlierRemoval``; CommonFunc.cpp:442-452,
@@ -59,7 +62,15 @@ def sor_filter_mask(points: jnp.ndarray, mask: jnp.ndarray | None,
     if mask is None:
         mask = jnp.ones((points.shape[0],), dtype=bool)
     # k+1 neighbours: the query itself is among them at distance 0
-    _, dists = knn(points, points, k + 1, q_mask=mask, t_mask=mask)
+    if resolution is not None and points.shape[0] > 4096:
+        from .grid_nn import build_grid, grid_knn
+
+        h = max(1.5 * np.sqrt((k + 1) / np.pi), 4.0) * resolution
+        grid = build_grid(np.asarray(points), h,
+                          mask=None if mask is None else np.asarray(mask))
+        _, dists = grid_knn(points, grid, k + 1, q_mask=mask)
+    else:
+        _, dists = knn(points, points, k + 1, q_mask=mask, t_mask=mask)
     mean_d = jnp.sum(dists[:, 1:], axis=1) / k
     valid = mask & jnp.isfinite(mean_d)
     n = jnp.maximum(jnp.sum(valid), 1)
@@ -70,14 +81,59 @@ def sor_filter_mask(points: jnp.ndarray, mask: jnp.ndarray | None,
     return valid & (mean_d <= thresh)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_run"))
+def _sor_mask_grid(points, g_pts, g_starts, g_origin, g_dims, g_h,
+                   k: int, max_run: int, std_mult):
+    """Whole SOR decision on device in ONE call: grid (k+1)-NN, mean
+    neighbour distance, global mean/std, threshold mask.
+
+    Only the boolean keep-mask crosses back to the host — the [N, k]
+    distance matrix never leaves the device (the tunnel is
+    bandwidth-limited).  Queries whose (k+1)-th neighbour lies beyond the
+    27-cell window get their mean clamped up to >= h: their neighbourhoods
+    are sparser than h by construction, which places them far above the
+    mu + sigma threshold exactly like their true mean would.
+    """
+    from .grid_nn import _grid_query_k
+
+    n = points.shape[0]
+    mask = jnp.ones((n,), dtype=bool)
+    _, dist, resolved = _grid_query_k(points, mask, g_pts, g_starts,
+                                      g_origin, g_dims, max_run, k + 1, g_h)
+    d = dist[:, 1:]                     # drop self (distance 0)
+    found = jnp.isfinite(d)
+    cnt = jnp.maximum(jnp.sum(found, axis=1), 1)
+    mean_d = jnp.sum(jnp.where(found, d, 0.0), axis=1) / cnt
+    mean_d = jnp.where(resolved, mean_d, jnp.maximum(mean_d, g_h))
+    mu = jnp.mean(mean_d)
+    var = jnp.sum((mean_d - mu) ** 2) / jnp.maximum(n - 1, 1)
+    return mean_d <= mu + std_mult * jnp.sqrt(var)
+
+
 def preprocess_cloud(points: np.ndarray, resolution: float,
                      sor_k: int = 14, sor_mult: float = 2.7
                      ) -> np.ndarray:
     """Voxel downsample at leaf=resolution, then SOR — ``PCpreprocessing``
     (CommonFunc.cpp:423-439).  Returns a compact host array."""
-    down = voxel_downsample(points, resolution)
-    keep = np.asarray(sor_filter_mask(jnp.asarray(down), None,
-                                      k=sor_k, std_mult=sor_mult))
+    from ..utils.logging import gphase
+
+    with gphase("prep.voxel"):
+        down = voxel_downsample(points, resolution)
+    with gphase("prep.sor"):
+        if down.shape[0] > 4096:
+            from .grid_nn import build_grid
+
+            h = max(1.5 * np.sqrt((sor_k + 1) / np.pi), 4.0) * resolution
+            grid = build_grid(down, h)
+            keep = np.asarray(_sor_mask_grid(
+                jnp.asarray(down), jnp.asarray(grid.points),
+                jnp.asarray(grid.cell_starts), jnp.asarray(grid.origin),
+                jnp.asarray(grid.dims, jnp.int32),
+                jnp.asarray(grid.h, jnp.float32),
+                sor_k, grid.max_run, sor_mult))
+        else:
+            keep = np.asarray(sor_filter_mask(jnp.asarray(down), None,
+                                              k=sor_k, std_mult=sor_mult))
     return down[keep]
 
 

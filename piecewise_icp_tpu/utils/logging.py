@@ -53,3 +53,14 @@ class PhaseTimer:
         for r in self.records:
             out[r["phase"]] = out.get(r["phase"], 0.0) + r["seconds"]
         return out
+
+
+# Module-level timer for fine-grained pipeline phase attribution.  Pipeline
+# stages record into it unconditionally (contextmanager overhead ~us); entry
+# points may reset/read it for reporting.
+GLOBAL_TIMER = PhaseTimer()
+
+
+def gphase(name: str, **meta):
+    """Record a phase into the global timer."""
+    return GLOBAL_TIMER.phase(name, **meta)

@@ -161,6 +161,19 @@ class TestPiecewiseICPCore:
         # monotone non-increasing DT
         assert all(b <= a + 1e-9 for a, b in
                    zip(res.dt_series, res.dt_series[1:]))
+
+    def test_grid_nn_impl_matches_quality(self, rng):
+        """The grid-hash kNN-graph path must deliver comparable accuracy to
+        the exact native graph (approximate stragglers only)."""
+        params = np.array([0.002, -0.0015, 0.0025, 0.004, -0.006, 0.005])
+        c1, c2, t_true = make_pair(rng, params)
+        cfg = small_test_config(nn_impl="auto")
+        res = piecewise_icp(c1, c2, cfg.res1, cfg.res2, cfg)
+        m = res.trans_mat @ t_true
+        disp = np.linalg.norm(apply_transform_np(c2.astype(np.float64), m)
+                              - c2.astype(np.float64), axis=1)
+        assert disp.mean() < 3e-3
+        assert disp.max() < 8e-3
         # pyramid-edge patches are rightly rejected at tight DT;
         # a healthy run still keeps a meaningful stable core
         assert res.stable_ratio > 0.2
