@@ -116,21 +116,28 @@ def _sharded_icp(ct1, n1, ct1_mask, ct2_local, stable_local, axis,
 
 
 def build_sharded_iteration(mesh: Mesh, axis: str = "sp",
-                            icp_max_iterations: int = 100):
+                            icp_max_iterations: int = 100,
+                            grid_max_run: int = 32):
     """Compile the fully sharded Piecewise-ICP iteration for ``mesh``.
 
     The returned jitted function is the multi-chip 'training step': one
     classification + alignment + percentile + state-update pass with clouds
-    sharded along ``axis``.  Signature:
+    sharded along ``axis``.  The stage-1 percentile queries each chip's
+    cloud2 shard against the REPLICATED cloud1 grid index (the same
+    grid-hash kernel as the single-device fused step) and ``all_gather``s
+    the per-shard distances for the global order statistic.  Signature:
 
-        step(cloud1, cloud1_mask, cloud2, cloud2_mask, pt_labels2,
+        step(g_pts, g_starts, g_origin, g_dims, g_h,   # cloud1 grid (repl.)
+             cloud2, cloud2_mask, pt_labels2,          # sharded
              ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
              curr_dt, dt_min, max_lod, sv_sum, percentile)
-        -> (t_icp 4x4, stable [P2], lod_min, n_stable, d75, bb_change,
-            cloud2_out sharded, ct2_out, bp2_out)
+        -> (t_icp 4x4, stable [P2], lod_min, n_stable, d75, d75_exact,
+            bb_change, cloud2_out sharded, ct2_out, bp2_out)
     """
+    from ..ops.grid_nn import _grid_query
 
-    def body(cloud1, cloud1_mask, cloud2, cloud2_mask, pt_labels2,
+    def body(g_pts, g_starts, g_origin, g_dims, g_h,
+             cloud2, cloud2_mask, pt_labels2,
              ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
              curr_dt, dt_min, max_lod, sv_sum, percentile):
         p2 = ct2.shape[0]
@@ -164,16 +171,24 @@ def build_sharded_iteration(mesh: Mesh, axis: str = "sp",
         t_icp, _ = _sharded_icp(ct1, n1, ct1_mask, sl, sl_mask, axis,
                                 max_iterations=icp_max_iterations)
 
-        # ---- stage-1 percentile over sharded stable cloud points ----
+        # ---- stage-1 percentile over sharded stable cloud points:
+        #      local grid query vs the replicated cloud1 index, then
+        #      all_gather for the global order statistic ----
         safe_lab = jnp.clip(pt_labels2, 0, p2 - 1)
         pt_stable = cloud2_mask & (pt_labels2 >= 0) & stable[safe_lab]
-        _, d_local = _local_nn(cloud2, pt_stable, cloud1, cloud1_mask)
-        d_all = jax.lax.all_gather(d_local, axis, tiled=True)
-        finite = jnp.isfinite(d_all)
-        n_f = jnp.sum(finite)
-        d_sorted = jnp.sort(jnp.where(finite, d_all, jnp.inf))
-        d75 = d_sorted[jnp.clip((n_f * percentile).astype(jnp.int32), 0,
-                                d_all.shape[0] - 1)]
+        _, d_local, res_local = _grid_query(cloud2, pt_stable, g_pts,
+                                            g_starts, g_origin, g_dims,
+                                            grid_max_run, g_h)
+        ok_local = res_local | (~pt_stable)
+        d_all = jax.lax.all_gather(
+            jnp.where(ok_local, d_local, jnp.inf), axis, tiled=True)
+        stable_all = jax.lax.all_gather(pt_stable, axis, tiled=True)
+        n_q = jnp.sum(stable_all)
+        n_resolved = jax.lax.psum(jnp.sum(ok_local & pt_stable), axis)
+        idx75 = jnp.clip((n_q * percentile).astype(jnp.int32), 0,
+                         d_all.shape[0] - 1)
+        d75 = jnp.sort(d_all)[idx75]
+        d75_exact = idx75 < n_resolved
 
         # ---- bounding-box corner change (global min/max via pmin/pmax) ----
         big = jnp.asarray(3e38, f32)
@@ -193,19 +208,19 @@ def build_sharded_iteration(mesh: Mesh, axis: str = "sp",
         cloud2_out = jnp.matmul(cloud2, r.T, precision="highest") + t_icp[:3, 3]
         ct2_out = jnp.matmul(ct2, r.T, precision="highest") + t_icp[:3, 3]
         bp2_out = jnp.matmul(bp2, r.T, precision="highest") + t_icp[:3, 3]
-        return (t_icp, stable, lod_min, n_stable, d75, bb_change,
-                cloud2_out, ct2_out, bp2_out)
+        return (t_icp, stable, lod_min, n_stable, d75, d75_exact,
+                bb_change, cloud2_out, ct2_out, bp2_out)
 
     sharded = P(axis)
     repl = P()
     step = shard_map(
         body, mesh=mesh,
-        in_specs=(repl, repl,            # cloud1 (replicated targets)
-                  sharded, sharded, sharded,  # cloud2, mask, labels
-                  repl, repl, repl, repl,     # ct1, n1, std_ct1, ct1_mask
-                  repl, repl, repl, repl,     # ct2, bp2, std_bp2, ct2_mask
+        in_specs=(repl, repl, repl, repl, repl,   # cloud1 grid (replicated)
+                  sharded, sharded, sharded,      # cloud2, mask, labels
+                  repl, repl, repl, repl,         # ct1, n1, std_ct1, mask
+                  repl, repl, repl, repl,         # ct2, bp2, std_bp2, mask
                   repl, repl, repl, repl, repl),
-        out_specs=(repl, repl, repl, repl, repl, repl,
+        out_specs=(repl, repl, repl, repl, repl, repl, repl,
                    sharded, repl, repl),
         check_vma=False)
     return jax.jit(step)

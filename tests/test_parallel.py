@@ -10,6 +10,7 @@ import pytest
 from piecewise_icp_tpu.models.piecewise_icp import (_classify_and_align,
                                                     _pad, _mask)
 from piecewise_icp_tpu.models.segmentation import build_patches
+from piecewise_icp_tpu.ops.grid_nn import build_grid
 from piecewise_icp_tpu.ops.preprocess import percentile_c2c
 from piecewise_icp_tpu.parallel.sharded import (build_sharded_iteration,
                                                 make_mesh)
@@ -70,18 +71,25 @@ class TestShardedIteration:
                                  s_mask=jnp.asarray(pt_stable)
                                  & a["cloud2_mask"])
 
-        # sharded version
+        # sharded version (cloud1 enters as its replicated grid index)
+        grid = build_grid(np.asarray(a["cloud1"]),
+                          h=max(4.0 * cfg.res1, 1e-6),
+                          mask=np.asarray(a["cloud1_mask"]))
         mesh = make_mesh(8)
-        step = build_sharded_iteration(mesh)
-        out = step(a["cloud1"], a["cloud1_mask"], a["cloud2"],
-                   a["cloud2_mask"], a["labels2"],
+        step = build_sharded_iteration(mesh, grid_max_run=grid.max_run)
+        out = step(jnp.asarray(grid.points), jnp.asarray(grid.cell_starts),
+                   jnp.asarray(grid.origin),
+                   jnp.asarray(grid.dims, jnp.int32),
+                   jnp.asarray(grid.h, jnp.float32),
+                   a["cloud2"], a["cloud2_mask"], a["labels2"],
                    a["ct1"], a["n1"], a["std_ct1"], a["ct1_mask"],
                    a["ct2"], a["bp2"], a["std_bp2"], a["ct2_mask"],
                    curr_dt, jnp.asarray(dt_min, jnp.float32),
                    jnp.asarray(max_lod, jnp.float32),
                    jnp.asarray(sv_sum, jnp.float32),
                    jnp.asarray(0.75, jnp.float32))
-        t_sh, stable_sh, lod_sh, n_sh, d75_sh, bb_sh = out[:6]
+        t_sh, stable_sh, lod_sh, n_sh, d75_sh, d75_exact, bb_sh = out[:7]
+        assert bool(d75_exact)
 
         np.testing.assert_array_equal(np.asarray(stable_sh), stable_np)
         assert int(n_sh) == int(n_ref)
@@ -93,7 +101,7 @@ class TestShardedIteration:
         assert float(d75_sh) == pytest.approx(float(d75_ref), rel=1e-4)
 
         # sharded output cloud = transformed input cloud
-        c2_out = np.asarray(out[6])
+        c2_out = np.asarray(out[7])
         ref_out = (np.asarray(a["cloud2"]) @ np.asarray(t_sh)[:3, :3].T
                    + np.asarray(t_sh)[:3, 3])
         np.testing.assert_allclose(c2_out, ref_out, atol=1e-5)
