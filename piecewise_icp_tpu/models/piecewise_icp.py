@@ -211,9 +211,16 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     new_ct2 = apply_transform(ct2, t_icp)
     new_bp2 = apply_transform(bp2, t_icp)
     n_pt_stable = jnp.sum(pt_stable)
-    return (t_icp, stable, lod_min, n_stable, icp_iters, max_bb, d75,
-            d75_exact, pt_stable, n_pt_stable, new_cloud2, new_ct2,
-            new_bp2)
+    # pack the transform and every per-iteration scalar into ONE array so
+    # the host pays a single device→host fetch per iteration
+    f32 = ct1.dtype
+    stats = jnp.concatenate([
+        t_icp.reshape(-1),
+        jnp.stack([lod_min.astype(f32), n_stable.astype(f32),
+                   icp_iters.astype(f32), max_bb.astype(f32),
+                   d75.astype(f32), d75_exact.astype(f32),
+                   n_pt_stable.astype(f32)])])
+    return (stats, stable, pt_stable, new_cloud2, new_ct2, new_bp2)
 
 
 def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
@@ -300,8 +307,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             curr_dt = dt_min
 
         with gphase("core.iteration"):
-            (t_icp, stable, lod_min, n_stable, icp_iters, max_bb, d75,
-             d75_exact, pt_stable_j, n_pt_stable, new_cloud2, new_ct2,
+            (stats_j, stable, pt_stable_j, new_cloud2, new_ct2,
              new_bp2) = _iteration_step(
                 ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
                 cloud2_j, cloud2_mask, labels2_j,
@@ -312,19 +318,22 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                 grid_max_run=cloud1_grid.max_run,
                 icp_trans_eps=cfg.icp_transformation_eps,
                 icp_fitness_eps=cfg.icp_fitness_eps)
-            n_stable = int(n_stable)
+            stats = np.asarray(stats_j, dtype=np.float64)
 
-        lod_min = float(lod_min)
+        t_icp = stats[:16].reshape(4, 4)
+        (lod_min, n_stable, icp_iters, max_bb, d75, d75_exact,
+         n_pt_stable) = stats[16:23]
+        n_stable = int(n_stable)
+        icp_iters = int(icp_iters)
         if n_stable < cfg.min_stable_patches:
             raise DegenerateGeometryError(
                 f"only {n_stable} stable patches left — not enough "
                 f"overlapping area (iteration {iteration})")
 
-        # only scalars cross the tunnel per iteration; the boolean masks
-        # stay device-resident until the final iteration needs them
+        # only this one packed array crosses the tunnel per iteration; the
+        # boolean masks stay device-resident until the final iteration
         n_patch_pts = int((labels2 >= 0).sum())
         stable_ratio = int(n_pt_stable) / max(n_patch_pts, 1)
-        max_bb = float(max_bb)
 
         # ---- stage transitions (Registration.cpp:891-935) ----
         if (not to_stage2) and max_bb < dt_min:
