@@ -33,7 +33,8 @@ from ..utils.errors import PwICPError
 from ..utils.logging import PhaseTimer, log
 from .chaining import absolute_errors, chain_to_reference
 from .kalman import kalman_smooth_transforms
-from .pairwise import register_pair, write_pair_report
+from .pairwise import prepare_target, register_pair, \
+    write_pair_report
 
 _MODE_NAMES = {0: "Direct2Ref_"}
 
@@ -155,6 +156,7 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
     # ---- per-pair registrations (Registration.cpp:89-187) ----
     mode_name = _mode_name(pair_mode)
+    target_states: Dict[int, object] = {}  # ref epoch -> TargetState
     ts_list: List[int] = []
     tm_list: List[Optional[np.ndarray]] = []
     vcm_list: List[Optional[np.ndarray]] = []
@@ -189,12 +191,19 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
         log.info("=== pair %d: epoch %d (target) <- epoch %d (source) ===",
                  step, times[ref_idx], times[i + 1])
-        cloud1 = _load_cloud_cached(files[ref_idx])
         cloud2 = _load_cloud_cached(files[i + 1])
         try:
+            # target-side work is cached per reference epoch (the reference
+            # recomputes it per pair, Registration.cpp:402-436)
+            if ref_idx not in target_states:
+                target_states.clear()  # targets advance monotonically
+                target_states[ref_idx] = prepare_target(
+                    _load_cloud_cached(files[ref_idx]), cfg,
+                    cfg.sor_std_mult_4d)
             with timer.phase("pair", step=step):
-                result = register_pair(cloud1, cloud2, cfg,
-                                       sor_mult=cfg.sor_std_mult_4d)
+                result = register_pair(None, cloud2, cfg,
+                                       sor_mult=cfg.sor_std_mult_4d,
+                                       target_state=target_states[ref_idx])
             tm, vcm, was_failed = result.trans_mat, result.vcm, False
             prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
             write_pair_report(prefix, result)
