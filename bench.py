@@ -72,6 +72,37 @@ def main() -> int:
     rot_err_mgon = float(np.abs(err[:3]).max() * 1000)
     trans_err_mm = float(np.abs(err[3:]).max() * 1000)
 
+    # NN kernel microbenchmarks on a real preprocessed cloud
+    import jax.numpy as jnp
+
+    from piecewise_icp_tpu.ops.grid_nn import build_grid, grid_nn1
+    from piecewise_icp_tpu.ops.nn import nn1
+    from piecewise_icp_tpu.ops.nn_pallas import nn1_pallas
+    from piecewise_icp_tpu.ops.preprocess import voxel_downsample
+
+    down = voxel_downsample(pts1, cfg.res1)
+    dj = jnp.asarray(down)
+    n = down.shape[0]
+
+    def t_kernel(fn, reps=3):
+        jax.block_until_ready(fn())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    grid = build_grid(down, h=4 * cfg.res1)
+    nn_bench = {
+        "n_points": n,
+        "xla_brute_ms": round(1e3 * t_kernel(lambda: nn1(dj, dj)[1]), 1),
+        "pallas_brute_ms": round(
+            1e3 * t_kernel(lambda: nn1_pallas(dj, dj)[1]), 1),
+        "grid_hash_ms": round(
+            1e3 * t_kernel(lambda: grid_nn1(dj, grid, exact=False)[1]), 1),
+    }
+
     eps = 1.0 / warm
     out = {
         "metric": "epochs/s",
@@ -82,6 +113,7 @@ def main() -> int:
         "cold_s": round(cold, 2),
         "rot_err_mgon": round(rot_err_mgon, 2),
         "trans_err_mm": round(trans_err_mm, 3),
+        "nn_kernels": nn_bench,
         "phases": {k: round(v, 2)
                    for k, v in result.timer.summary().items()},
         "fine_phases": {k: round(v, 3) for k, v in fine.items()},
