@@ -78,6 +78,27 @@ def main() -> int:
             round(v, 3) for v in golden[:, :3].max(0)]
         summary["reference_max_trans_mm"] = [
             round(v, 4) for v in golden[:, 3:].max(0)]
+
+        # direct transform-vs-transform parity against the reference's own
+        # chained results (the strictest comparison)
+        ref_chained = f"{REF}/results/4DPCReg/TransMatrices_toRef.txt"
+        ours_chained = os.path.join(out_dir, "TransMatrices_toRef.txt")
+        if os.path.exists(ref_chained) and os.path.exists(ours_chained):
+            from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+            n_pairs = args.epochs - 1
+            _, ours_tm, _ = formats.read_trans_matrices(ours_chained,
+                                                        n_pairs)
+            _, ref_tm, _ = formats.read_trans_matrices(ref_chained, n_pairs)
+            diffs = np.array([
+                np.abs(matrix_to_params_gon(a) - matrix_to_params_gon(b))
+                * 1000 for a, b in zip(ours_tm, ref_tm)])
+            summary["vs_reference_transforms"] = {
+                "mean_rot_mgon": [round(v, 2) for v in diffs[:, :3].mean(0)],
+                "max_rot_mgon": [round(v, 2) for v in diffs[:, :3].max(0)],
+                "mean_trans_mm": [round(v, 3) for v in diffs[:, 3:].mean(0)],
+                "max_trans_mm": [round(v, 3) for v in diffs[:, 3:].max(0)],
+            }
     print(json.dumps(summary, indent=2))
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
