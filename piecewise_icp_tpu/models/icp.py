@@ -127,12 +127,16 @@ def vcm_normal_equations(target: jnp.ndarray, target_normals: jnp.ndarray,
 
 def compute_vcm(target: np.ndarray, target_normals: np.ndarray,
                 target_mask: np.ndarray, source: np.ndarray,
-                source_mask: np.ndarray) -> np.ndarray:
+                source_mask: np.ndarray):
     """Gauss-Markov VCM of the 6 transform parameters
     (calTransParaVCM, Registration.cpp:1273-1343).
 
     Correspondences + rows on device; the tiny 6x6 algebra runs on host in
     float64: Qxx = (A^T A)^-1, sigma0^2 = v^T v / (N - 6), VCM = sigma0^2 Qxx.
+
+    Returns (VCM, x) where x is the float64 least-squares parameter update
+    (rx, ry, rz, tx, ty, tz) mapping source onto target — the correction
+    the reference computes and discards (Registration.cpp:1329).
     """
     a, l, valid = map(np.asarray, vcm_normal_equations(
         jnp.asarray(target), jnp.asarray(target_normals),
@@ -149,4 +153,4 @@ def compute_vcm(target: np.ndarray, target_normals: np.ndarray,
     x = qxx @ (a.T @ l)
     v = a @ x - l
     sigma0_sq = float(v @ v) / max(n - 6, 1)
-    return sigma0_sq * qxx
+    return sigma0_sq * qxx, x

@@ -121,7 +121,7 @@ class TestVCM:
         nrm = nrm.astype(np.float32)
         src = (ct + rng.normal(scale=1e-3, size=ct.shape)).astype(np.float32)
         mask = np.ones(100, dtype=bool)
-        vcm = compute_vcm(ct, nrm, mask, src, mask)
+        vcm, x_update = compute_vcm(ct, nrm, mask, src, mask)
         # direct reference computation (identical correspondence = identity
         # here because src is a small perturbation of ct)
         q = src.astype(np.float64)
