@@ -72,6 +72,17 @@ def main() -> int:
     rot_err_mgon = float(np.abs(err[:3]).max() * 1000)
     trans_err_mm = float(np.abs(err[3:]).max() * 1000)
 
+    # opt-in symmetric point-to-plane variant (beyond-reference accuracy)
+    import dataclasses as _dc
+
+    cfg_sym = _dc.replace(cfg, icp_variant="symmetric")
+    res_sym = register_pair(pts1, pts2, cfg_sym,
+                            sor_mult=cfg.sor_std_mult_4d)
+    err_s = (matrix_to_params_gon(res_sym.trans_mat)
+             - matrix_to_params_gon(gt[1]))
+    sym = {"rot_err_mgon": round(float(np.abs(err_s[:3]).max() * 1000), 2),
+           "trans_err_mm": round(float(np.abs(err_s[3:]).max() * 1000), 3)}
+
     # NN kernel microbenchmarks on a real preprocessed cloud
     import jax.numpy as jnp
 
@@ -113,6 +124,7 @@ def main() -> int:
         "cold_s": round(cold, 2),
         "rot_err_mgon": round(rot_err_mgon, 2),
         "trans_err_mm": round(trans_err_mm, 3),
+        "symmetric_icp": sym,
         "nn_kernels": nn_bench,
         "phases": {k: round(v, 2)
                    for k, v in result.timer.summary().items()},

@@ -72,6 +72,13 @@ class PiecewiseICPConfig:
     icp_transformation_eps: float = 1e-8  # Registration.cpp:1262
     icp_fitness_eps: float = 1e-6         # Registration.cpp:877
     min_stable_patches: int = 4      # abort threshold (Registration.cpp:728,:864)
+    # Inner-ICP residual variant: "reference" = target-normal point-to-plane
+    # (PCL IterativeClosestPointWithNormals semantics); "symmetric" = the
+    # symmetric point-to-plane objective (Rusinkiewicz 2019) using the
+    # bisector of the matched target/source patch normals — cancels the
+    # first-order curvature bias of centroid correspondences and typically
+    # tightens transforms beyond the reference's accuracy.  Opt-in.
+    icp_variant: str = "reference"
 
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)

@@ -59,32 +59,46 @@ def _p2pl_rows(src: jnp.ndarray, tgt_pt: jnp.ndarray, tgt_n: jnp.ndarray
     return a, l
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iterations", "symmetric"))
 def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
                        target_mask: jnp.ndarray,
                        source: jnp.ndarray, source_mask: jnp.ndarray,
                        max_iterations: int = 100,
                        transformation_eps: float = 1e-8,
-                       fitness_eps: float = 1e-6
+                       fitness_eps: float = 1e-6,
+                       source_normals: jnp.ndarray | None = None,
+                       symmetric: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Iterative point-to-plane alignment of ``source`` onto ``target``.
+
+    With ``symmetric=True`` (and ``source_normals``), residuals use the
+    sign-aligned bisector of the matched normals — the symmetric
+    point-to-plane objective, which cancels first-order curvature bias
+    when correspondences are laterally offset (as patch centroids of two
+    independent scans always are).
 
     Returns (4x4 transform f32, iterations executed).
     """
     f32 = target.dtype
 
     def cond(state):
-        it, _, _, prev_mse, mse, delta_ok = state
+        it, _, _, _, prev_mse, mse, delta_ok = state
         keep = (it < max_iterations) & jnp.logical_not(delta_ok)
         abs_mse = jnp.abs(mse - prev_mse) > fitness_eps
         rel_mse = jnp.abs(mse - prev_mse) > 1e-5 * jnp.maximum(prev_mse, 1e-30)
         return keep & (abs_mse | rel_mse | (it < 1))
 
     def body(state):
-        it, trans, src, prev_mse, mse, _ = state
+        it, trans, src, src_n, prev_mse, mse, _ = state
         idx, dist = _masked_nn(src, source_mask, target, target_mask)
         tgt_pt = target[idx]
         tgt_n = target_normals[idx]
+        if symmetric:
+            sign = jnp.sign(jnp.sum(tgt_n * src_n, axis=1, keepdims=True))
+            n_sum = tgt_n + jnp.where(sign == 0, 1.0, sign) * src_n
+            norm = jnp.linalg.norm(n_sum, axis=1, keepdims=True)
+            tgt_n = n_sum / jnp.maximum(norm, 1e-12)
         a, l = _p2pl_rows(src, tgt_pt, tgt_n)
         w = source_mask.astype(f32)[:, None]
         a = a * w
@@ -96,6 +110,8 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         t_delta = small_angle_matrix_jax(x)
         new_src = jnp.matmul(src, t_delta[:3, :3].T,
                              precision="highest") + t_delta[:3, 3]
+        new_src_n = jnp.matmul(src_n, t_delta[:3, :3].T,
+                               precision="highest")
         new_trans = jnp.matmul(t_delta, trans, precision="highest")
         n_valid = jnp.maximum(jnp.sum(source_mask), 1).astype(f32)
         new_mse = jnp.sum(jnp.where(source_mask, dist * dist, 0.0)) / n_valid
@@ -103,12 +119,15 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         tr_sqr = jnp.sum(t_delta[:3, 3] ** 2)
         cos_angle = (jnp.trace(t_delta[:3, :3]) - 1.0) / 2.0
         delta_ok = (tr_sqr <= transformation_eps) & (cos_angle >= 0.99999)
-        return (it + 1, new_trans, new_src, mse, new_mse, delta_ok)
+        return (it + 1, new_trans, new_src, new_src_n, mse, new_mse,
+                delta_ok)
 
+    src_n0 = source_normals if source_normals is not None \
+        else jnp.zeros_like(source)
     init = (jnp.asarray(0, jnp.int32), jnp.eye(4, dtype=f32), source,
-            jnp.asarray(jnp.inf, f32), jnp.asarray(jnp.inf, f32),
+            src_n0, jnp.asarray(jnp.inf, f32), jnp.asarray(jnp.inf, f32),
             jnp.asarray(False))
-    it, trans, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    it, trans, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return trans, it
 
 

@@ -83,13 +83,15 @@ class PairResult:
     stable_point_mask: "np.ndarray | None" = None  # over patches2.points
 
 
-@functools.partial(jax.jit, static_argnames=("icp_max_iterations",))
+@functools.partial(jax.jit,
+                   static_argnames=("icp_max_iterations", "icp_variant"))
 def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
                         ct2, bp2, std_bp2, ct2_mask,
                         curr_dt, dt_min, max_lod, sv_sum,
                         icp_max_iterations: int = 100,
                         icp_trans_eps: float = 1e-8,
-                        icp_fitness_eps: float = 1e-6):
+                        icp_fitness_eps: float = 1e-6,
+                        n2=None, icp_variant: str = "reference"):
     """One fused classification + alignment step (device).
 
     Returns (T_icp 4x4, stable [P2] bool, LoDet_min, n_stable, icp_iters).
@@ -128,7 +130,8 @@ def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
     t_icp, icp_iters = point_to_plane_icp(
         ct1, n1, ct1_mask, ct2, stable,
         max_iterations=icp_max_iterations,
-        transformation_eps=icp_trans_eps, fitness_eps=icp_fitness_eps)
+        transformation_eps=icp_trans_eps, fitness_eps=icp_fitness_eps,
+        source_normals=n2, symmetric=(icp_variant == "symmetric"))
 
     return t_icp, stable, lod_min.astype(f32), n_stable, icp_iters
 
@@ -148,9 +151,10 @@ def _bb_change(cloud2, cloud2_mask, t_icp):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("icp_max_iterations", "grid_max_run"))
+                   static_argnames=("icp_max_iterations", "grid_max_run",
+                                    "icp_variant"))
 def _iteration_step(ct1, n1, std_ct1, ct1_mask,
-                    ct2, bp2, std_bp2, ct2_mask,
+                    ct2, n2, bp2, std_bp2, ct2_mask,
                     cloud2, cloud2_mask, labels2,
                     g_pts, g_starts, g_origin, g_dims, g_h,
                     curr_dt, dt_min, max_lod, sv_sum,
@@ -158,7 +162,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     icp_max_iterations: int = 100,
                     grid_max_run: int = 32,
                     icp_trans_eps: float = 1e-8,
-                    icp_fitness_eps: float = 1e-6):
+                    icp_fitness_eps: float = 1e-6,
+                    icp_variant: str = "reference"):
     """One COMPLETE Piecewise-ICP iteration as a single device program.
 
     Fuses classification + inner ICP + bounding-box metric + stage-1
@@ -175,7 +180,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
         curr_dt, dt_min, max_lod, sv_sum,
         icp_max_iterations=icp_max_iterations,
-        icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps)
+        icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps,
+        n2=n2, icp_variant=icp_variant)
 
     # bounding-box corner change (Registration.cpp:880-888)
     bb_min, bb_max = masked_aabb(cloud2, cloud2_mask)
@@ -206,10 +212,12 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         lambda _: (jnp.asarray(jnp.inf, ct1.dtype), jnp.asarray(True)),
         operand=None)
 
-    # apply transform to the source state (Registration.cpp:942-954)
+    # apply transform to the source state (Registration.cpp:942-954);
+    # source patch normals rotate with the rigid motion
     new_cloud2 = apply_transform(cloud2, t_icp)
     new_ct2 = apply_transform(ct2, t_icp)
     new_bp2 = apply_transform(bp2, t_icp)
+    new_n2 = jnp.matmul(n2, t_icp[:3, :3].T, precision="highest")
     n_pt_stable = jnp.sum(pt_stable)
     # pack the transform and every per-iteration scalar into ONE array so
     # the host pays a single device→host fetch per iteration
@@ -220,7 +228,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                    icp_iters.astype(f32), max_bb.astype(f32),
                    d75.astype(f32), d75_exact.astype(f32),
                    n_pt_stable.astype(f32)])])
-    return (stats, stable, pt_stable, new_cloud2, new_ct2, new_bp2)
+    return (stats, stable, pt_stable, new_cloud2, new_ct2, new_bp2,
+            new_n2)
 
 
 def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
@@ -280,6 +289,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
     # device-resident mutable source state
     ct2 = jnp.asarray(_pad(patches2.centroids, pm))
+    n2 = jnp.asarray(_pad(patches2.normals, pm))
     bp2 = jnp.asarray(_pad(patches2.boundary.reshape(-1, 3), 6 * pm))
     std_bp2 = jnp.asarray(_pad(patches2.std_bp, pm))
     ct2_mask = jnp.asarray(_mask(p2, pm))
@@ -308,16 +318,17 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
         with gphase("core.iteration"):
             (stats_j, stable, pt_stable_j, new_cloud2, new_ct2,
-             new_bp2) = _iteration_step(
-                ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
-                cloud2_j, cloud2_mask, labels2_j,
+             new_bp2, new_n2) = _iteration_step(
+                ct1, n1, std_ct1, ct1_mask, ct2, n2, bp2, std_bp2,
+                ct2_mask, cloud2_j, cloud2_mask, labels2_j,
                 g_pts, g_starts, g_origin, g_dims, g_h,
                 jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
                 cfg.dtinit_percentile, jnp.asarray(not to_stage2),
                 icp_max_iterations=cfg.icp_max_iterations,
                 grid_max_run=cloud1_grid.max_run,
                 icp_trans_eps=cfg.icp_transformation_eps,
-                icp_fitness_eps=cfg.icp_fitness_eps)
+                icp_fitness_eps=cfg.icp_fitness_eps,
+                icp_variant=cfg.icp_variant)
             stats = np.asarray(stats_j, dtype=np.float64)
 
         t_icp = stats[:16].reshape(4, 4)
@@ -381,7 +392,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
         # ---- adopt the transformed state (computed inside the fused step,
         #      Registration.cpp:942-954) ----
-        cloud2_j, ct2, bp2 = new_cloud2, new_ct2, new_bp2
+        cloud2_j, ct2, bp2, n2 = new_cloud2, new_ct2, new_bp2, new_n2
         trans_mat = np.asarray(t_icp, dtype=np.float64) @ trans_mat
         dt_series.append(curr_dt)
 
