@@ -1,0 +1,135 @@
+"""Run every TPU workload in ONE long-lived process.
+
+The TPU tunnel in this environment penalises process churn (a freshly
+started client can block for many minutes after a previous heavy client
+exits), so the full evaluation batch — pairwise benchmark with both ICP
+variants, golden 4D runs for the requested pair modes — executes inside a
+single device session and writes one combined JSON report.
+
+Usage: python eval/run_all.py [--modes 0 -1] [--epochs 20] [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/python"
+DATA = f"{REF}/data/data_synthetic/syntheticPC_with_transformations"
+GT = f"{REF}/data/data_synthetic/defined_transformations.txt"
+
+
+def run_pair_bench(report):
+    import dataclasses
+
+    from piecewise_icp_tpu.config import PiecewiseICPConfig
+    from piecewise_icp_tpu.io import formats, read_pcd
+    from piecewise_icp_tpu.models.pairwise import register_pair
+    from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+    cfg = PiecewiseICPConfig(
+        set_res_svsize=True, res1=0.005, res2=0.005,
+        svsize1=0.05, svsize2=0.05, set_dtinit=True,
+        dt_init=0.05, dt_min=0.004)
+    pts1 = read_pcd(f"{DATA}/Epoch_001.pcd")
+    pts2 = read_pcd(f"{DATA}/Epoch_002.pcd")
+    _, gt = formats.read_ground_truth_transforms(GT)
+
+    out = {}
+    for variant in ("reference", "symmetric"):
+        c = dataclasses.replace(cfg, icp_variant=variant)
+        t0 = time.perf_counter()
+        r = register_pair(pts1, pts2, c, sor_mult=cfg.sor_std_mult_4d)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = register_pair(pts1, pts2, c, sor_mult=cfg.sor_std_mult_4d)
+        warm = time.perf_counter() - t0
+        err = (matrix_to_params_gon(r.trans_mat)
+               - matrix_to_params_gon(gt[1]))
+        out[variant] = {
+            "rot_err_mgon": round(float(np.abs(err[:3]).max() * 1000), 2),
+            "trans_err_mm": round(float(np.abs(err[3:]).max() * 1000), 3),
+            "warm_s": round(warm, 2), "cold_s": round(cold, 2)}
+        print(f"[run_all] pair bench {variant}: {out[variant]}", flush=True)
+    report["pair_bench"] = out
+
+
+def run_mode(report, mode, epochs, kalman=True, icp_variant="reference"):
+    from piecewise_icp_tpu.config import PiecewiseICPConfig
+    from piecewise_icp_tpu.io import formats
+    from piecewise_icp_tpu.models.four_d import run_4d
+    from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+    tag = f"mode{mode}" + ("" if icp_variant == "reference"
+                           else f"_{icp_variant}")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"results_{tag}/")
+    cfg = PiecewiseICPConfig(
+        path1=DATA, path2=out_dir,
+        set_res_svsize=True, res1=0.005, res2=0.005,
+        svsize1=0.05, svsize2=0.05, set_dtinit=True,
+        dt_init=0.05, dt_min=0.004, kalman_enabled=kalman,
+        icp_variant=icp_variant)
+    t0 = time.perf_counter()
+    ok = run_4d(cfg, 0, epochs, mode, overlap_thd=0.75, ground_truth=GT)
+    wall = time.perf_counter() - t0
+    entry = {"ok": ok, "wall_s": round(wall, 1),
+             "epochs_per_s": round((epochs - 1) / wall, 4)}
+    err_file = os.path.join(out_dir, "TransPara_AbsError.txt")
+    if os.path.exists(err_file):
+        err = formats.read_abs_errors(err_file)
+        entry["mean_rot_mgon"] = [round(v, 2) for v in err[:, :3].mean(0)]
+        entry["mean_trans_mm"] = [round(v, 3) for v in err[:, 3:].mean(0)]
+        entry["max_rot_mgon"] = [round(v, 2) for v in err[:, :3].max(0)]
+        entry["max_trans_mm"] = [round(v, 3) for v in err[:, 3:].max(0)]
+    # direct diff vs the reference's chained goldens (adaptive mode only)
+    ref_chained = f"{REF}/results/4DPCReg/TransMatrices_toRef.txt"
+    ours_chained = os.path.join(out_dir, "TransMatrices_toRef.txt")
+    if mode == -1 and os.path.exists(ref_chained) \
+            and os.path.exists(ours_chained):
+        _, ours_tm, _ = formats.read_trans_matrices(ours_chained, epochs - 1)
+        _, ref_tm, _ = formats.read_trans_matrices(ref_chained, epochs - 1)
+        diffs = np.array([
+            np.abs(matrix_to_params_gon(a) - matrix_to_params_gon(b)) * 1000
+            for a, b in zip(ours_tm, ref_tm)])
+        entry["vs_reference_transforms"] = {
+            "max_rot_mgon": [round(v, 2) for v in diffs[:, :3].max(0)],
+            "max_trans_mm": [round(v, 3) for v in diffs[:, 3:].max(0)]}
+    report[tag] = entry
+    print(f"[run_all] {tag}: {entry}", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", type=int, nargs="*", default=[0])
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--variants", nargs="*", default=["reference"])
+    args = ap.parse_args()
+
+    from piecewise_icp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    report = {}
+    if not args.skip_bench:
+        run_pair_bench(report)
+    for mode in args.modes:
+        for variant in args.variants:
+            run_mode(report, mode, args.epochs, icp_variant=variant)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "run_all_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
