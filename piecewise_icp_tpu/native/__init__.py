@@ -145,3 +145,33 @@ def pca_normals(points: np.ndarray, neighbors: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("pwicp_pca_normals failed")
     return out
+
+
+_CAPI_SRC = _HERE / "pwicp_capi.cpp"
+_CAPI_LIB = _HERE / "libpwicp_capi.so"
+
+
+def build_capi() -> str:
+    """Build (if needed) the drop-in C ABI library exposing the reference's
+    DLL symbols (PiecewiseICP_pair_call / PiecewiseICP_4D_call).
+
+    Returns the .so path for ``ctypes.cdll.LoadLibrary`` — the same calling
+    convention as the reference's python/main.py:12-18.
+    """
+    stale = (not _CAPI_LIB.exists()
+             or _CAPI_LIB.stat().st_mtime < _CAPI_SRC.stat().st_mtime)
+    if stale:
+        import sysconfig
+
+        inc = sysconfig.get_paths()["include"]
+        libdir = sysconfig.get_config_var("LIBDIR")
+        ver = sysconfig.get_config_var("LDVERSION")
+        cmd = ["g++", "-O2", "-shared", "-fPIC", str(_CAPI_SRC),
+               f"-I{inc}", f"-L{libdir}", f"-lpython{ver}",
+               "-o", str(_CAPI_LIB)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise NativeBuildError(
+                f"capi build failed: {getattr(e, 'stderr', e)}") from e
+    return str(_CAPI_LIB)
