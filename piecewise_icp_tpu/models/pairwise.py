@@ -88,6 +88,15 @@ def register_pair(points1: Optional[np.ndarray], points2: np.ndarray,
     timer = PhaseTimer()
     mult = sor_mult if sor_mult is not None else cfg.sor_std_mult_pair
 
+    # device profiling: set PWICP_PROFILE_DIR to capture a jax.profiler
+    # trace of this registration (the reference's TicToc prints become
+    # PhaseTimer records + full XLA traces; SURVEY.md §5)
+    import os as _os
+    profile_dir = _os.environ.get("PWICP_PROFILE_DIR")
+    if profile_dir:
+        import jax as _jax
+        _jax.profiler.start_trace(profile_dir)
+
     res2 = cfg.res2
     if not cfg.set_res_svsize:
         with timer.phase("resolution"):
@@ -117,6 +126,10 @@ def register_pair(points1: Optional[np.ndarray], points2: np.ndarray,
     s_inv = translation_matrix(-shift)
     trans_final = s_inv @ core.trans_mat @ s
     params = matrix_to_params_gon(trans_final)
+    if profile_dir:
+        import jax as _jax
+        _jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", profile_dir)
     log.info("final transform params (gon/m): %s", np.array2string(
         params, precision=6))
     return RegistrationOutput(trans_mat=trans_final, vcm=core.vcm,
