@@ -90,3 +90,46 @@ class TestGridNN:
         gi, gd = grid_nn1(jnp.asarray(q), grid)
         bi, bd = nn1(jnp.asarray(q), jnp.asarray(t))
         np.testing.assert_allclose(np.asarray(gd), np.asarray(bd), atol=1e-5)
+
+
+class TestGridPercentile:
+    def test_matches_reference_semantics(self, rng):
+        from piecewise_icp_tpu.ops.grid_nn import grid_percentile
+
+        t = rng.uniform(0, 2, size=(2000, 3)).astype(np.float32)
+        s = rng.uniform(0, 2, size=(1500, 3)).astype(np.float32)
+        grid = build_grid(t, h=0.2)
+        p = float(grid_percentile(jnp.asarray(s), grid, 0.75))
+        _, d = _brute(s, t)
+        ref = np.sort(d)[int(1500 * 0.75)]
+        assert abs(p - ref) < 1e-5
+
+    def test_exact_with_far_stragglers(self, rng):
+        from piecewise_icp_tpu.ops.grid_nn import grid_percentile
+
+        t = rng.uniform(0, 1, size=(1000, 3)).astype(np.float32)
+        s_near = (t[:700] + rng.normal(scale=1e-3, size=(700, 3))
+                  ).astype(np.float32)
+        s_far = (rng.uniform(0, 1, size=(300, 3)) + 3.0).astype(np.float32)
+        s = np.vstack([s_near, s_far])
+        grid = build_grid(t, h=0.15)
+        # the 90th percentile falls INSIDE the far stragglers — subset
+        # fallback must make it exact
+        p = float(grid_percentile(jnp.asarray(s), grid, 0.9))
+        _, d = _brute(s, t)
+        ref = np.sort(d)[int(1000 * 0.9)]
+        assert abs(p - ref) < 1e-4
+
+    def test_masked_sources(self, rng):
+        from piecewise_icp_tpu.ops.grid_nn import grid_percentile
+
+        t = rng.uniform(size=(800, 3)).astype(np.float32)
+        s = rng.uniform(size=(600, 3)).astype(np.float32)
+        m = np.zeros(600, dtype=bool)
+        m[:400] = True
+        grid = build_grid(t, h=0.2)
+        p = float(grid_percentile(jnp.asarray(s), grid, 0.5,
+                                  s_mask=jnp.asarray(m)))
+        _, d = _brute(s[:400], t)
+        ref = np.sort(d)[int(400 * 0.5)]
+        assert abs(p - ref) < 1e-5

@@ -251,3 +251,22 @@ class TestKalman:
         m = small_angle_matrix([1e-4, 0, 0, 1e-3, 0, 0])
         sm = kalman_smooth_transforms([m], [np.eye(6) * 1e-8])
         np.testing.assert_allclose(sm.trans_mats[0], m, atol=1e-9)
+
+
+class TestChainingFixedStride:
+    def test_stride_two(self, rng):
+        from piecewise_icp_tpu.models.chaining import chain_to_reference
+
+        tms = [small_angle_matrix(np.concatenate([
+            rng.normal(scale=1e-3, size=3),
+            rng.normal(scale=1e-3, size=3)])) for _ in range(5)]
+        vcms = [np.eye(6) * (k + 1) * 1e-9 for k in range(5)]
+        out_t, out_v = chain_to_reference(tms, vcms, pair_mode=2)
+        # i < pairMode: direct copies (Registration.cpp:1095-1098)
+        np.testing.assert_allclose(out_t[0], tms[0])
+        np.testing.assert_allclose(out_t[1], tms[1])
+        # i=4 (epoch 5): 5→3→1, T = T(3→1 at idx 2) ... walk idx 4, 2, 0
+        ref = tms[0] @ tms[2] @ tms[4]
+        np.testing.assert_allclose(out_t[4], ref, atol=1e-12)
+        np.testing.assert_allclose(out_v[4], vcms[0] + vcms[2] + vcms[4],
+                                   atol=1e-15)
