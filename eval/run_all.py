@@ -112,6 +112,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--variants", nargs="*", default=["reference"])
+    ap.add_argument("--scale", type=int, default=0,
+                    help="also run the N-epoch scale-demo campaign")
     args = ap.parse_args()
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
@@ -123,6 +125,40 @@ def main() -> int:
     for mode in args.modes:
         for variant in args.variants:
             run_mode(report, mode, args.epochs, icp_variant=variant)
+    if args.scale:
+        import scale_demo
+
+        scans = os.path.join("/tmp/pwicp_scale", "scans")
+        if not os.path.isdir(scans) or len(os.listdir(scans)) < args.scale:
+            print(f"[run_all] generating {args.scale}-epoch series",
+                  flush=True)
+            scale_demo.generate_series("/tmp/pwicp_scale", args.scale)
+        from piecewise_icp_tpu.config import PiecewiseICPConfig
+        from piecewise_icp_tpu.io import formats
+        from piecewise_icp_tpu.models.four_d import run_4d
+
+        out_dir = "/tmp/pwicp_scale/out/"
+        cfg = PiecewiseICPConfig(
+            path1=scans, path2=out_dir, set_res_svsize=True,
+            res1=0.005, res2=0.005, svsize1=0.05, svsize2=0.05,
+            set_dtinit=True, dt_init=0.05, dt_min=0.004,
+            epoch_digits=4, kalman_enabled=True)
+        t0 = time.perf_counter()
+        ok = run_4d(cfg, 0, args.scale, 1,
+                    ground_truth="/tmp/pwicp_scale/defined_transformations.txt")
+        wall = time.perf_counter() - t0
+        entry = {"ok": ok, "wall_s": round(wall, 1),
+                 "epochs_per_s": round((args.scale - 1) / wall, 4)}
+        err_file = os.path.join(out_dir, "TransPara_AbsError.txt")
+        if os.path.exists(err_file):
+            err = formats.read_abs_errors(err_file)
+            entry["mean_rot_mgon"] = [round(v, 2)
+                                      for v in err[:, :3].mean(0)]
+            entry["mean_trans_mm"] = [round(v, 3)
+                                      for v in err[:, 3:].mean(0)]
+        report[f"scale_{args.scale}"] = entry
+        print(f"[run_all] scale_{args.scale}: {entry}", flush=True)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "run_all_report.json")
     with open(out, "w") as f:
