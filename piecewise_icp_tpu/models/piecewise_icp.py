@@ -157,7 +157,7 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     ct2, n2, bp2, std_bp2, ct2_mask,
                     cloud2, cloud2_mask, labels2,
                     g_pts, g_starts, g_origin, g_dims, g_h,
-                    curr_dt, dt_min, max_lod, sv_sum,
+                    curr_dt, dt_min, max_lod, sv_sum, bb_leaf,
                     percentile, need_percentile,
                     icp_max_iterations: int = 100,
                     grid_max_run: int = 32,
@@ -183,9 +183,18 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps,
         n2=n2, icp_variant=icp_variant)
 
-    # bounding-box corner change (Registration.cpp:880-888)
+    # bounding-box corner change (Registration.cpp:880-888).  The
+    # reference reads the box from a pcl::octree with leaf 2*Res2
+    # (Registration.cpp:882-886) whose region is CUBIC with a power-of-two
+    # side — larger than the tight AABB, making the corner-displacement
+    # metric more conservative and the stage-1 phase correspondingly
+    # longer.  Reproduce that box: side = leaf * 2^ceil(log2(extent/leaf)).
     bb_min, bb_max = masked_aabb(cloud2, cloud2_mask)
-    max_bb = bounding_box_corner_change(bb_min, bb_max, t_icp)
+    extent = jnp.max(bb_max - bb_min)
+    leaf = jnp.maximum(bb_leaf, 1e-9)
+    side = leaf * jnp.exp2(jnp.ceil(jnp.log2(
+        jnp.maximum(extent / leaf, 1.0))))
+    max_bb = bounding_box_corner_change(bb_min, bb_min + side, t_icp)
 
     # stable patch points of PC2 (pre-transform), for the stage-1 percentile
     safe_lab = jnp.clip(labels2, 0, stable.shape[0] - 1)
@@ -323,7 +332,8 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                 ct2_mask, cloud2_j, cloud2_mask, labels2_j,
                 g_pts, g_starts, g_origin, g_dims, g_h,
                 jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
-                cfg.dtinit_percentile, jnp.asarray(not to_stage2),
+                2.0 * res2, cfg.dtinit_percentile,
+                jnp.asarray(not to_stage2),
                 icp_max_iterations=cfg.icp_max_iterations,
                 grid_max_run=cloud1_grid.max_run,
                 icp_trans_eps=cfg.icp_transformation_eps,
