@@ -156,7 +156,7 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
     # ---- per-pair registrations (Registration.cpp:89-187) ----
     mode_name = _mode_name(pair_mode)
-    target_states: Dict[int, object] = {}  # ref epoch -> TargetState
+    epoch_states: Dict[int, object] = {}  # epoch idx -> TargetState
     ts_list: List[int] = []
     tm_list: List[Optional[np.ndarray]] = []
     vcm_list: List[Optional[np.ndarray]] = []
@@ -191,19 +191,23 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
         log.info("=== pair %d: epoch %d (target) <- epoch %d (source) ===",
                  step, times[ref_idx], times[i + 1])
-        cloud2 = _load_cloud_cached(files[i + 1])
         try:
-            # target-side work is cached per reference epoch (the reference
-            # recomputes it per pair, Registration.cpp:402-436)
-            if ref_idx not in target_states:
-                target_states.clear()  # targets advance monotonically
-                target_states[ref_idx] = prepare_target(
-                    _load_cloud_cached(files[ref_idx]), cfg,
-                    cfg.sor_std_mult_4d)
+            # each epoch is preprocessed + segmented ONCE (in its own
+            # centroid frame) and reused as target and source via pure
+            # translation — the reference recomputes both sides per pair
+            # (Registration.cpp:402-436)
+            for idx in (ref_idx, i + 1):
+                if idx not in epoch_states:
+                    for old in [k for k in epoch_states if k < ref_idx]:
+                        del epoch_states[old]  # targets advance monotonically
+                    epoch_states[idx] = prepare_target(
+                        _load_cloud_cached(files[idx]), cfg,
+                        cfg.sor_std_mult_4d)
             with timer.phase("pair", step=step):
-                result = register_pair(None, cloud2, cfg,
+                result = register_pair(None, None, cfg,
                                        sor_mult=cfg.sor_std_mult_4d,
-                                       target_state=target_states[ref_idx])
+                                       target_state=epoch_states[ref_idx],
+                                       source_state=epoch_states[i + 1])
             tm, vcm, was_failed = result.trans_mat, result.vcm, False
             prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
             write_pair_report(prefix, result)

@@ -70,10 +70,12 @@ class RegistrationOutput:
     timer: PhaseTimer
 
 
-def register_pair(points1: Optional[np.ndarray], points2: np.ndarray,
+def register_pair(points1: Optional[np.ndarray],
+                  points2: Optional[np.ndarray],
                   cfg: Optional[PiecewiseICPConfig] = None,
                   sor_mult: Optional[float] = None,
-                  target_state: Optional[TargetState] = None
+                  target_state: Optional[TargetState] = None,
+                  source_state: Optional[TargetState] = None
                   ) -> RegistrationOutput:
     """Register cloud2 onto cloud1 (raw input clouds, original frame).
 
@@ -97,29 +99,39 @@ def register_pair(points1: Optional[np.ndarray], points2: np.ndarray,
         import jax as _jax
         _jax.profiler.start_trace(profile_dir)
 
-    res2 = cfg.res2
-    if not cfg.set_res_svsize:
-        with timer.phase("resolution"):
-            res2 = estimate_resolution(jnp.asarray(points2))
     if target_state is None:
         with timer.phase("target"):
             target_state = prepare_target(points1, cfg, mult)
     res1 = target_state.resolution
-    log.info("PC2 %d pts (res %.4g) | target: %d reduced pts, %d patches",
-             len(points2), res2, len(target_state.reduced_points),
-             target_state.patches.num_patches)
-
-    with timer.phase("preprocess"):
-        prep2 = preprocess_cloud(points2, res2, cfg.sor_neighbors, mult)
 
     # centroid reduction by the TARGET centroid (Registration.cpp:277-294)
     shift = target_state.shift
     red1 = target_state.reduced_points
-    red2 = (prep2.astype(np.float64) + shift).astype(np.float32)
+    patches2 = None
+    if source_state is not None:
+        # the source epoch was segmented once in its OWN centroid frame;
+        # patches are translation-equivariant, so shift them into the
+        # target-reduced frame instead of re-segmenting
+        res2 = source_state.resolution
+        delta = shift - source_state.shift
+        patches2 = source_state.patches.translated(delta)
+        red2 = patches2.points
+    else:
+        res2 = cfg.res2
+        if not cfg.set_res_svsize:
+            with timer.phase("resolution"):
+                res2 = estimate_resolution(jnp.asarray(points2))
+        with timer.phase("preprocess"):
+            prep2 = preprocess_cloud(points2, res2, cfg.sor_neighbors, mult)
+        red2 = (prep2.astype(np.float64) + shift).astype(np.float32)
+    log.info("source: %d reduced pts | target: %d pts, %d patches",
+             len(red2), len(target_state.reduced_points),
+             target_state.patches.num_patches)
 
     with timer.phase("core"):
         core = piecewise_icp(red1, red2, res1, res2, cfg,
-                             patches1=target_state.patches)
+                             patches1=target_state.patches,
+                             patches2=patches2)
 
     # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
     s = translation_matrix(shift)

@@ -64,6 +64,25 @@ class PatchSet:
     def num_patches(self) -> int:
         return self.centroids.shape[0]
 
+    def translated(self, delta: np.ndarray) -> "PatchSet":
+        """Patch decomposition under a pure translation.
+
+        Segmentation, normals, plane STDs and membership are
+        translation-invariant, so an epoch segmented once in its own
+        centroid frame can serve as source OR target of any pair by
+        shifting its point-level arrays — the key to segmenting each epoch
+        of a campaign exactly once.
+        """
+        d = np.asarray(delta, dtype=np.float64)
+        f32 = np.float32
+        return PatchSet(
+            points=(self.points.astype(np.float64) + d).astype(f32),
+            labels=self.labels,
+            centroids=(self.centroids.astype(np.float64) + d).astype(f32),
+            boundary=(self.boundary.astype(np.float64) + d).astype(f32),
+            normals=self.normals, std_bp=self.std_bp, std_ct=self.std_ct,
+            counts=self.counts)
+
 
 def estimate_normals(points: np.ndarray, neighbor_idx: np.ndarray
                      ) -> np.ndarray:
