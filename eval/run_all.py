@@ -112,6 +112,10 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--variants", nargs="*", default=["reference"])
+    ap.add_argument("--matrix", default=None,
+                    help="comma-separated mode:variant cells, e.g. "
+                         "'0:reference,-1:symmetric' (overrides "
+                         "--modes/--variants)")
     ap.add_argument("--scale", type=int, default=0,
                     help="also run the N-epoch scale-demo campaign")
     args = ap.parse_args()
@@ -122,9 +126,13 @@ def main() -> int:
     report = {}
     if not args.skip_bench:
         run_pair_bench(report)
-    for mode in args.modes:
-        for variant in args.variants:
-            run_mode(report, mode, args.epochs, icp_variant=variant)
+    if args.matrix:
+        cells = [(int(c.split(":")[0]), c.split(":")[1])
+                 for c in args.matrix.split(",") if c]
+    else:
+        cells = [(m, v) for m in args.modes for v in args.variants]
+    for mode, variant in cells:
+        run_mode(report, mode, args.epochs, icp_variant=variant)
     if args.scale:
         import scale_demo
 
