@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     p_pair.add_argument("--config", required=True)
     p_pair.add_argument("--out", required=True,
                         help="output file prefix (like results/PairReg/)")
+    p_pair.add_argument("--mesh-devices", type=int, default=0,
+                        help="run multi-chip over an N-device mesh "
+                             "(0 = single device)")
 
     p_4d = sub.add_parser("4d", help="4D time-series registration")
     p_4d.add_argument("--config", required=True)
@@ -40,15 +43,23 @@ def main(argv=None) -> int:
                       help="reuse finished pairs from <out>/pairs/*.npz")
     p_4d.add_argument("--no-finalize", action="store_true",
                       help="skip chaining/accuracy (another shard will)")
+    p_4d.add_argument("--mesh-devices", type=int, default=0,
+                      help="run each pairwise registration multi-chip over "
+                           "an N-device mesh (0 = single device)")
 
     args = ap.parse_args(argv)
 
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    mesh = None
+    if getattr(args, "mesh_devices", 0):
+        from .parallel.sharded import make_mesh
+        mesh = make_mesh(args.mesh_devices)
+
     if args.cmd == "pair":
         from .models.pairwise import piecewise_icp_pair_call
-        ok = piecewise_icp_pair_call(args.config, args.out)
+        ok = piecewise_icp_pair_call(args.config, args.out, mesh=mesh)
     else:
         from .models.four_d import piecewise_icp_4d_call
         overrides = {"kalman_enabled": True} if args.kalman else {}
@@ -59,6 +70,7 @@ def main(argv=None) -> int:
                                    shard_count=args.shards,
                                    resume=args.resume,
                                    finalize=not args.no_finalize,
+                                   mesh=mesh,
                                    **overrides)
     return 0 if ok else 1
 

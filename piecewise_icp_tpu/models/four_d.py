@@ -104,7 +104,7 @@ def piecewise_icp_4d_call(confile: str, start_epoch: int, epoch_num: int,
                           ground_truth: Optional[str] = None,
                           shard_index: int = 0, shard_count: int = 1,
                           resume: bool = False, finalize: bool = True,
-                          **overrides) -> bool:
+                          mesh=None, **overrides) -> bool:
     """Drop-in equivalent of the reference C ABI entry
     ``PiecewiseICP_4D_call`` (Registration.h:36)."""
     try:
@@ -114,14 +114,16 @@ def piecewise_icp_4d_call(confile: str, start_epoch: int, epoch_num: int,
         return False
     return run_4d(cfg, start_epoch, epoch_num, pair_mode, overlap_thd,
                   ground_truth=ground_truth, shard_index=shard_index,
-                  shard_count=shard_count, resume=resume, finalize=finalize)
+                  shard_count=shard_count, resume=resume, finalize=finalize,
+                  mesh=mesh)
 
 
 def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
            pair_mode: int, overlap_thd: float = 0.75,
            ground_truth: Optional[str] = None,
            shard_index: int = 0, shard_count: int = 1,
-           resume: bool = False, finalize: bool = True) -> bool:
+           resume: bool = False, finalize: bool = True,
+           mesh=None) -> bool:
     """Run the 4D campaign, optionally as one shard of an epoch fleet.
 
     Epoch-level data parallelism (new vs the strictly serial reference,
@@ -132,6 +134,11 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
     unit of work — so any shard (or a later ``resume=True`` run) can
     pick up where a crashed one stopped, and whichever invocation sees
     the full set performs the chaining/smoothing/accuracy finalisation.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) runs every pairwise registration
+    multi-chip — the two parallelism axes compose: epoch-level DP across
+    hosts (this fleet sharding) × point-level sharding across the chips of
+    each host's mesh.
     """
     timer = PhaseTimer()
     input_folder, out_folder = cfg.path1, cfg.path2
@@ -207,7 +214,8 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
                 result = register_pair(None, None, cfg,
                                        sor_mult=cfg.sor_std_mult_4d,
                                        target_state=epoch_states[ref_idx],
-                                       source_state=epoch_states[i + 1])
+                                       source_state=epoch_states[i + 1],
+                                       mesh=mesh)
             tm, vcm, was_failed = result.trans_mat, result.vcm, False
             prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
             write_pair_report(prefix, result)

@@ -60,7 +60,8 @@ def _p2pl_rows(src: jnp.ndarray, tgt_pt: jnp.ndarray, tgt_n: jnp.ndarray
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iterations", "symmetric"))
+                   static_argnames=("max_iterations", "symmetric",
+                                    "axis_name"))
 def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
                        target_mask: jnp.ndarray,
                        source: jnp.ndarray, source_mask: jnp.ndarray,
@@ -68,7 +69,8 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
                        transformation_eps: float = 1e-8,
                        fitness_eps: float = 1e-6,
                        source_normals: jnp.ndarray | None = None,
-                       symmetric: bool = False
+                       symmetric: bool = False,
+                       axis_name: str | None = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Iterative point-to-plane alignment of ``source`` onto ``target``.
 
@@ -78,9 +80,16 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
     when correspondences are laterally offset (as patch centroids of two
     independent scans always are).
 
+    With ``axis_name`` (inside ``shard_map``) the source rows are this
+    chip's shard and the 6x6 normal equations / MSE sums are ``psum``-
+    reduced over the mesh axis before the replicated solve — the
+    Schur-style block reduction of SURVEY.md §2.4 / BASELINE's north star.
+
     Returns (4x4 transform f32, iterations executed).
     """
     f32 = target.dtype
+    psum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name \
+        else (lambda x: x)
 
     def cond(state):
         it, _, _, _, prev_mse, mse, delta_ok = state
@@ -103,8 +112,8 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         w = source_mask.astype(f32)[:, None]
         a = a * w
         l = l * w[:, 0]
-        ata = jnp.matmul(a.T, a, precision="highest")
-        atl = jnp.matmul(a.T, l, precision="highest")
+        ata = psum(jnp.matmul(a.T, a, precision="highest"))
+        atl = psum(jnp.matmul(a.T, l, precision="highest"))
         # Tikhonov epsilon guards rank-deficient patch layouts
         x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=f32), atl)
         t_delta = small_angle_matrix_jax(x)
@@ -113,8 +122,9 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         new_src_n = jnp.matmul(src_n, t_delta[:3, :3].T,
                                precision="highest")
         new_trans = jnp.matmul(t_delta, trans, precision="highest")
-        n_valid = jnp.maximum(jnp.sum(source_mask), 1).astype(f32)
-        new_mse = jnp.sum(jnp.where(source_mask, dist * dist, 0.0)) / n_valid
+        n_valid = jnp.maximum(psum(jnp.sum(source_mask)), 1).astype(f32)
+        new_mse = psum(
+            jnp.sum(jnp.where(source_mask, dist * dist, 0.0))) / n_valid
         # PCL transform-epsilon: squared translation of the update
         tr_sqr = jnp.sum(t_delta[:3, 3] ** 2)
         cos_angle = (jnp.trace(t_delta[:3, :3]) - 1.0) / 2.0

@@ -75,8 +75,8 @@ def register_pair(points1: Optional[np.ndarray],
                   cfg: Optional[PiecewiseICPConfig] = None,
                   sor_mult: Optional[float] = None,
                   target_state: Optional[TargetState] = None,
-                  source_state: Optional[TargetState] = None
-                  ) -> RegistrationOutput:
+                  source_state: Optional[TargetState] = None,
+                  mesh=None) -> RegistrationOutput:
     """Register cloud2 onto cloud1 (raw input clouds, original frame).
 
     Pipeline (Registration.cpp:249-330): optional resolution estimation →
@@ -85,6 +85,10 @@ def register_pair(points1: Optional[np.ndarray],
 
     Pass ``target_state`` (from :func:`prepare_target`) to reuse the
     target-side work across pairs sharing the same target epoch.
+
+    Pass ``mesh`` (``jax.sharding.Mesh``, e.g. ``parallel.make_mesh()``) to
+    run the full staged registration multi-chip (point-sharded clouds,
+    psum-reduced normal equations — see ``parallel.sharded``).
     """
     cfg = cfg or PiecewiseICPConfig()
     timer = PhaseTimer()
@@ -131,7 +135,7 @@ def register_pair(points1: Optional[np.ndarray],
     with timer.phase("core"):
         core = piecewise_icp(red1, red2, res1, res2, cfg,
                              patches1=target_state.patches,
-                             patches2=patches2)
+                             patches2=patches2, mesh=mesh)
 
     # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
     s = translation_matrix(shift)
@@ -184,7 +188,7 @@ def write_visualizations(out_prefix: str, result: RegistrationOutput) -> None:
                                    core.stable_point_mask)
 
 
-def piecewise_icp_pair_call(confile: str, outfile: str,
+def piecewise_icp_pair_call(confile: str, outfile: str, mesh=None,
                             **overrides) -> bool:
     """Drop-in equivalent of the reference C ABI entry
     ``PiecewiseICP_pair_call(confile, outfile)`` (Registration.h:49)."""
@@ -201,7 +205,7 @@ def piecewise_icp_pair_call(confile: str, outfile: str,
         return False
     if len(pts1) < 1 or len(pts2) < 1:
         return False
-    result = register_pair(pts1, pts2, cfg)
+    result = register_pair(pts1, pts2, cfg, mesh=mesh)
     write_pair_report(outfile, result, source_points=pts2)
     if cfg.visual:
         write_visualizations(outfile, result)

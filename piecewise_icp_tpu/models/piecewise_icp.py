@@ -84,15 +84,22 @@ class PairResult:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("icp_max_iterations", "icp_variant"))
+                   static_argnames=("icp_max_iterations", "icp_variant",
+                                    "axis_name"))
 def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
                         ct2, bp2, std_bp2, ct2_mask,
                         curr_dt, dt_min, max_lod, sv_sum,
                         icp_max_iterations: int = 100,
                         icp_trans_eps: float = 1e-8,
                         icp_fitness_eps: float = 1e-6,
-                        n2=None, icp_variant: str = "reference"):
+                        n2=None, icp_variant: str = "reference",
+                        axis_name: str | None = None):
     """One fused classification + alignment step (device).
+
+    With ``axis_name`` (inside ``shard_map``) the classification runs on
+    the replicated patch arrays (identical on every chip) while the inner
+    ICP shards the source-centroid rows across the mesh axis and
+    ``psum``-reduces the 6x6 normal equations.
 
     Returns (T_icp 4x4, stable [P2] bool, LoDet_min, n_stable, icp_iters).
     """
@@ -126,12 +133,24 @@ def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
     n_stable = jnp.sum(stable)
 
     # (5) inner point-to-plane ICP: stable CT2 onto CT1-with-normals
-    #     (Registration.cpp:874-877)
+    #     (Registration.cpp:874-877).  On a mesh, each chip takes its
+    #     contiguous slice of the source rows; psum merges the normal
+    #     equations inside point_to_plane_icp.
+    src_ct, src_mask, src_n = ct2, stable, n2
+    if axis_name is not None:
+        n_dev = jax.lax.axis_size(axis_name)
+        dev = jax.lax.axis_index(axis_name)
+        rows = p2 // n_dev
+        src_ct = jax.lax.dynamic_slice_in_dim(ct2, dev * rows, rows)
+        src_mask = jax.lax.dynamic_slice_in_dim(stable, dev * rows, rows)
+        if n2 is not None:
+            src_n = jax.lax.dynamic_slice_in_dim(n2, dev * rows, rows)
     t_icp, icp_iters = point_to_plane_icp(
-        ct1, n1, ct1_mask, ct2, stable,
+        ct1, n1, ct1_mask, src_ct, src_mask,
         max_iterations=icp_max_iterations,
         transformation_eps=icp_trans_eps, fitness_eps=icp_fitness_eps,
-        source_normals=n2, symmetric=(icp_variant == "symmetric"))
+        source_normals=src_n, symmetric=(icp_variant == "symmetric"),
+        axis_name=axis_name)
 
     return t_icp, stable, lod_min.astype(f32), n_stable, icp_iters
 
@@ -152,7 +171,7 @@ def _bb_change(cloud2, cloud2_mask, t_icp):
 
 @functools.partial(jax.jit,
                    static_argnames=("icp_max_iterations", "grid_max_run",
-                                    "icp_variant"))
+                                    "icp_variant", "axis_name"))
 def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     ct2, n2, bp2, std_bp2, ct2_mask,
                     cloud2, cloud2_mask, labels2,
@@ -163,7 +182,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     grid_max_run: int = 32,
                     icp_trans_eps: float = 1e-8,
                     icp_fitness_eps: float = 1e-6,
-                    icp_variant: str = "reference"):
+                    icp_variant: str = "reference",
+                    axis_name: str | None = None):
     """One COMPLETE Piecewise-ICP iteration as a single device program.
 
     Fuses classification + inner ICP + bounding-box metric + stage-1
@@ -173,6 +193,14 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
 
     ``need_percentile`` (traced bool) skips the percentile work via
     ``lax.cond`` once the DT schedule has left stage 1.
+
+    This SAME body is the multi-chip step: ``parallel.sharded`` wraps it in
+    ``shard_map`` with ``axis_name`` set, the full clouds sharded along the
+    point axis and patch arrays replicated.  The collective points are the
+    inner-ICP psum (inside :func:`_classify_and_align`), the all_gather of
+    per-shard percentile distances, pmin/pmax of the bounding box and the
+    psum of stable-point counts — so single-device and mesh semantics can
+    never drift apart.
     """
     from ..ops.grid_nn import _grid_query
 
@@ -181,7 +209,7 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         curr_dt, dt_min, max_lod, sv_sum,
         icp_max_iterations=icp_max_iterations,
         icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps,
-        n2=n2, icp_variant=icp_variant)
+        n2=n2, icp_variant=icp_variant, axis_name=axis_name)
 
     # bounding-box corner change (Registration.cpp:880-888).  The
     # reference reads the box from a pcl::octree with leaf 2*Res2
@@ -190,6 +218,9 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     # metric more conservative and the stage-1 phase correspondingly
     # longer.  Reproduce that box: side = leaf * 2^ceil(log2(extent/leaf)).
     bb_min, bb_max = masked_aabb(cloud2, cloud2_mask)
+    if axis_name is not None:
+        bb_min = jax.lax.pmin(bb_min, axis_name)
+        bb_max = jax.lax.pmax(bb_max, axis_name)
     extent = jnp.max(bb_max - bb_min)
     leaf = jnp.maximum(bb_leaf, 1e-9)
     side = leaf * jnp.exp2(jnp.ceil(jnp.log2(
@@ -203,12 +234,20 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     def compute_percentile(_):
         _, d, resolved = _grid_query(cloud2, pt_stable, g_pts, g_starts,
                                      g_origin, g_dims, grid_max_run, g_h)
-        n = jnp.sum(pt_stable)
-        idx = jnp.clip((n * percentile).astype(jnp.int32), 0,
-                       cloud2.shape[0] - 1)
         ok = resolved | (~pt_stable)
-        n_resolved = jnp.sum(ok & pt_stable)
-        d_grid = jnp.sort(jnp.where(ok, d, jnp.inf))[idx]
+        d_ok = jnp.where(ok, d, jnp.inf)
+        if axis_name is None:
+            d_all, stable_n = d_ok, jnp.sum(pt_stable)
+            n_resolved = jnp.sum(ok & pt_stable)
+        else:
+            # per-shard grid query, then one all_gather for the global
+            # order statistic (the only O(N) collective per iteration)
+            d_all = jax.lax.all_gather(d_ok, axis_name, tiled=True)
+            stable_n = jax.lax.psum(jnp.sum(pt_stable), axis_name)
+            n_resolved = jax.lax.psum(jnp.sum(ok & pt_stable), axis_name)
+        idx = jnp.clip((stable_n * percentile).astype(jnp.int32), 0,
+                       d_all.shape[0] - 1)
+        d_grid = jnp.sort(d_all)[idx]
         # exact when the percentile index lands in the resolved block (all
         # resolved distances <= h sort before the +inf placeholders); the
         # HOST re-runs an exact brute pass when exact=False — keeping the
@@ -228,6 +267,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     new_bp2 = apply_transform(bp2, t_icp)
     new_n2 = jnp.matmul(n2, t_icp[:3, :3].T, precision="highest")
     n_pt_stable = jnp.sum(pt_stable)
+    if axis_name is not None:
+        n_pt_stable = jax.lax.psum(n_pt_stable, axis_name)
     # pack the transform and every per-iteration scalar into ONE array so
     # the host pays a single device→host fetch per iteration
     f32 = ct1.dtype
@@ -245,12 +286,19 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                   res1: float, res2: float,
                   cfg: Optional[PiecewiseICPConfig] = None,
                   patches1: Optional[PatchSet] = None,
-                  patches2: Optional[PatchSet] = None) -> PairResult:
+                  patches2: Optional[PatchSet] = None,
+                  mesh=None) -> PairResult:
     """Register preprocessed ``cloud2`` onto ``cloud1`` (both centroid-
     reduced, host float32 arrays).
 
     Mirrors ``Piecewise_ICP`` (Registration.cpp:618-700): auto DT-init,
     supervoxel sizing, patch generation, then the staged iteration loop.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the FULL staged loop runs
+    multi-chip: clouds point-sharded across the mesh axis, patch arrays
+    replicated, every iteration one shard_map program with psum-reduced
+    normal equations (see ``parallel.sharded``).  Semantics are identical
+    to the single-device path — it is the same iteration body.
     """
     cfg = cfg or PiecewiseICPConfig()
 
@@ -279,37 +327,66 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             f"not enough patches: PC1={p1}, PC2={p2} (<4)")
 
     pm, cm = cfg.patch_pad_multiple, cfg.point_pad_multiple
+    if mesh is not None:
+        # pad so patch rows and point shards divide evenly across the mesh
+        n_dev = int(mesh.devices.size)
+        pm = int(np.lcm(pm, n_dev))
+        cm = int(np.lcm(cm, n_dev))
+        from ..parallel.sharded import point_sharded, replicated
+        axis = mesh.axis_names[0]
+        repl = functools.partial(replicated, mesh)
+        shard = functools.partial(point_sharded, mesh, axis=axis)
+    else:
+        repl = shard = jnp.asarray
 
-    # device-resident static target state
-    ct1 = jnp.asarray(_pad(patches1.centroids, pm))
-    n1 = jnp.asarray(_pad(patches1.normals, pm))
-    std_ct1 = jnp.asarray(_pad(patches1.std_ct, pm))
-    ct1_mask = jnp.asarray(_mask(p1, pm))
+    # device-resident static target state (replicated on a mesh)
+    ct1 = repl(_pad(patches1.centroids, pm))
+    n1 = repl(_pad(patches1.normals, pm))
+    std_ct1 = repl(_pad(patches1.std_ct, pm))
+    ct1_mask = repl(_mask(p1, pm))
     cloud1_j = jnp.asarray(_pad(patches1.points, cm))
     cloud1_mask = jnp.asarray(_mask(patches1.points.shape[0], cm))
     # static target grid for the stage-1 percentile NN (cloud1 never moves);
     # grid arrays uploaded once, reused by every fused iteration step
     cloud1_grid = build_grid(patches1.points, h=max(4.0 * res1, 1e-6))
-    g_pts = jnp.asarray(cloud1_grid.points)
-    g_starts = jnp.asarray(cloud1_grid.cell_starts)
-    g_origin = jnp.asarray(cloud1_grid.origin)
-    g_dims = jnp.asarray(cloud1_grid.dims, jnp.int32)
-    g_h = jnp.asarray(cloud1_grid.h, jnp.float32)
+    g_pts = repl(jnp.asarray(cloud1_grid.points))
+    g_starts = repl(jnp.asarray(cloud1_grid.cell_starts))
+    g_origin = repl(jnp.asarray(cloud1_grid.origin))
+    g_dims = repl(jnp.asarray(cloud1_grid.dims, jnp.int32))
+    g_h = repl(jnp.asarray(cloud1_grid.h, jnp.float32))
 
-    # device-resident mutable source state
-    ct2 = jnp.asarray(_pad(patches2.centroids, pm))
-    n2 = jnp.asarray(_pad(patches2.normals, pm))
-    bp2 = jnp.asarray(_pad(patches2.boundary.reshape(-1, 3), 6 * pm))
-    std_bp2 = jnp.asarray(_pad(patches2.std_bp, pm))
-    ct2_mask = jnp.asarray(_mask(p2, pm))
-    cloud2_j = jnp.asarray(_pad(patches2.points, cm))
-    cloud2_mask = jnp.asarray(_mask(patches2.points.shape[0], cm))
+    # device-resident mutable source state (clouds point-sharded on a mesh)
+    ct2 = repl(_pad(patches2.centroids, pm))
+    n2 = repl(_pad(patches2.normals, pm))
+    bp2 = repl(_pad(patches2.boundary.reshape(-1, 3), 6 * pm))
+    std_bp2 = repl(_pad(patches2.std_bp, pm))
+    ct2_mask = repl(_mask(p2, pm))
+    cloud2_j = shard(_pad(patches2.points, cm))
+    cloud2_mask = shard(_mask(patches2.points.shape[0], cm))
     labels2 = _pad(patches2.labels, cm, value=-1)
-    labels2_j = jnp.asarray(labels2)
+    labels2_j = shard(labels2)
 
     dt_min = float(cfg.dt_min)
     max_lod = dt_min * cfg.lod_max_ratio
     sv_sum = float(sv1 + sv2)
+
+    if mesh is not None:
+        from ..parallel.sharded import build_sharded_iteration
+        step_fn = build_sharded_iteration(
+            mesh, mesh.axis_names[0],
+            icp_max_iterations=cfg.icp_max_iterations,
+            grid_max_run=cloud1_grid.max_run,
+            icp_trans_eps=cfg.icp_transformation_eps,
+            icp_fitness_eps=cfg.icp_fitness_eps,
+            icp_variant=cfg.icp_variant)
+    else:
+        step_fn = functools.partial(
+            _iteration_step,
+            icp_max_iterations=cfg.icp_max_iterations,
+            grid_max_run=cloud1_grid.max_run,
+            icp_trans_eps=cfg.icp_transformation_eps,
+            icp_fitness_eps=cfg.icp_fitness_eps,
+            icp_variant=cfg.icp_variant)
 
     trans_mat = np.eye(4, dtype=np.float64)
     dt_series = [curr_dt]
@@ -327,18 +404,17 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
         with gphase("core.iteration"):
             (stats_j, stable, pt_stable_j, new_cloud2, new_ct2,
-             new_bp2, new_n2) = _iteration_step(
+             new_bp2, new_n2) = step_fn(
                 ct1, n1, std_ct1, ct1_mask, ct2, n2, bp2, std_bp2,
                 ct2_mask, cloud2_j, cloud2_mask, labels2_j,
                 g_pts, g_starts, g_origin, g_dims, g_h,
-                jnp.asarray(curr_dt, jnp.float32), dt_min, max_lod, sv_sum,
-                2.0 * res2, cfg.dtinit_percentile,
-                jnp.asarray(not to_stage2),
-                icp_max_iterations=cfg.icp_max_iterations,
-                grid_max_run=cloud1_grid.max_run,
-                icp_trans_eps=cfg.icp_transformation_eps,
-                icp_fitness_eps=cfg.icp_fitness_eps,
-                icp_variant=cfg.icp_variant)
+                jnp.asarray(curr_dt, jnp.float32),
+                jnp.asarray(dt_min, jnp.float32),
+                jnp.asarray(max_lod, jnp.float32),
+                jnp.asarray(sv_sum, jnp.float32),
+                jnp.asarray(2.0 * res2, jnp.float32),
+                jnp.asarray(cfg.dtinit_percentile, jnp.float32),
+                jnp.asarray(not to_stage2))
             stats = np.asarray(stats_j, dtype=np.float64)
 
         t_icp = stats[:16].reshape(4, 4)
@@ -366,12 +442,18 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
         if not to_stage2:
             if not bool(d75_exact):
-                # heavy misalignment: exact percentile via the brute path
+                # heavy misalignment: exact percentile via the brute path.
+                # On a mesh the sharded arrays are gathered to host first —
+                # this path fires at most once per pair (first iterations of
+                # a badly misaligned pair), so simplicity beats a sharded
+                # brute kernel here.
                 with gphase("core.percentile_exact"):
+                    c2_full = jnp.asarray(np.asarray(cloud2_j)) \
+                        if mesh is not None else cloud2_j
+                    s_full = jnp.asarray(np.asarray(pt_stable_j))
                     d75 = float(percentile_c2c(
-                        cloud1_j, cloud2_j, cfg.dtinit_percentile,
-                        t_mask=cloud1_mask,
-                        s_mask=jnp.asarray(pt_stable_j)))
+                        cloud1_j, c2_full, cfg.dtinit_percentile,
+                        t_mask=cloud1_mask, s_mask=s_full))
             else:
                 d75 = float(d75)
             if curr_dt > d75:
