@@ -280,32 +280,29 @@ def rockfall_config(scans: str, out_dir: str, res: float = 0.3,
     return PiecewiseICPConfig(**kw)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--mode", type=int, default=-1)
-    ap.add_argument("--workdir", default="/tmp/pwicp_rockfall")
-    ap.add_argument("--pair-only", action="store_true")
-    ap.add_argument("--extent", type=float, nargs=2, default=(150.0, 100.0))
-    ap.add_argument("--res", type=float, default=0.3)
-    args = ap.parse_args()
+def run(workdir: str = "/tmp/pwicp_rockfall", epochs: int = 6,
+        mode: int = -1, pair_only: bool = False,
+        extent: tuple[float, float] = (150.0, 100.0),
+        res: float = 0.3) -> dict:
+    """Execute BASELINE configs 3 (pairwise) and 4 (4D + Kalman) on the
+    simulated rockfall series; returns (and writes) the summary dict.
 
+    Callable in-process from run_all.py so the whole evaluation matrix
+    shares one TPU session (the tunnel penalises process churn)."""
     from piecewise_icp_tpu.io import formats, read_pcd
     from piecewise_icp_tpu.models.four_d import run_4d
     from piecewise_icp_tpu.models.pairwise import register_pair
     from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
-    from piecewise_icp_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
-    os.makedirs(args.workdir, exist_ok=True)
-    scans = os.path.join(args.workdir, "scans")
+    os.makedirs(workdir, exist_ok=True)
+    scans = os.path.join(workdir, "scans")
     if (not os.path.isdir(scans)
-            or len(os.listdir(scans)) < args.epochs):
-        print(f"generating {args.epochs}-epoch rockfall series...",
+            or len(os.listdir(scans)) < epochs):
+        print(f"generating {epochs}-epoch rockfall series...",
               flush=True)
-        scans = generate_rockfall(args.workdir, args.epochs,
-                                  extent=tuple(args.extent), res=args.res)
-    gt_file = os.path.join(args.workdir, "defined_transformations.txt")
+        scans = generate_rockfall(workdir, epochs,
+                                  extent=tuple(extent), res=res)
+    gt_file = os.path.join(workdir, "defined_transformations.txt")
     summary = {}
 
     # BASELINE config 3: pairwise rockfall pair (epochs 1 and 2, like the
@@ -313,7 +310,7 @@ def main() -> int:
     files = sorted(os.listdir(scans))
     pts1 = read_pcd(os.path.join(scans, files[0]))
     pts2 = read_pcd(os.path.join(scans, files[1]))
-    cfg = rockfall_config(scans, args.workdir + "/")
+    cfg = rockfall_config(scans, workdir + "/")
     _, gt = formats.read_ground_truth_transforms(gt_file)
     t0 = time.perf_counter()
     r = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_pair)
@@ -330,16 +327,16 @@ def main() -> int:
         "wall_s": round(wall, 1)}
     print(f"[rockfall] pair: {summary['pair']}", flush=True)
 
-    if not args.pair_only:
+    if not pair_only:
         # BASELINE config 4: 4D rockfall series with Kalman smoothing
-        out_dir = os.path.join(args.workdir, f"out_mode{args.mode}") + os.sep
+        out_dir = os.path.join(workdir, f"out_mode{mode}") + os.sep
         cfg4 = rockfall_config(scans, out_dir, kalman_enabled=True)
         t0 = time.perf_counter()
-        ok = run_4d(cfg4, 0, args.epochs, args.mode, overlap_thd=0.75,
+        ok = run_4d(cfg4, 0, epochs, mode, overlap_thd=0.75,
                     ground_truth=gt_file)
         wall = time.perf_counter() - t0
         entry = {"ok": ok, "wall_s": round(wall, 1),
-                 "epochs_per_s": round((args.epochs - 1) / wall, 4)}
+                 "epochs_per_s": round((epochs - 1) / wall, 4)}
         err_file = os.path.join(out_dir, "TransPara_AbsError.txt")
         if os.path.exists(err_file):
             e = formats.read_abs_errors(err_file)
@@ -347,12 +344,39 @@ def main() -> int:
             entry["mean_trans_mm"] = [round(x, 3) for x in e[:, 3:].mean(0)]
             entry["max_rot_mgon"] = round(float(e[:, :3].max()), 2)
             entry["max_trans_mm"] = round(float(e[:, 3:].max()), 3)
+        smoothed = os.path.join(out_dir, "TransPara_AbsError_smoothed.txt")
+        if os.path.exists(smoothed):
+            e = formats.read_abs_errors(smoothed)
+            entry["kalman_smoothed"] = {
+                "mean_rot_mgon": [round(x, 2) for x in e[:, :3].mean(0)],
+                "mean_trans_mm": [round(x, 3) for x in e[:, 3:].mean(0)],
+                "max_rot_mgon": round(float(e[:, :3].max()), 2),
+                "max_trans_mm": round(float(e[:, 3:].max()), 3)}
         summary["four_d"] = entry
         print(f"[rockfall] 4d: {entry}", flush=True)
 
-    with open(os.path.join(args.workdir, "rockfall_report.json"),
+    with open(os.path.join(workdir, "rockfall_report.json"),
               "w") as f:
         json.dump(summary, f, indent=2)
+    return summary
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--mode", type=int, default=-1)
+    ap.add_argument("--workdir", default="/tmp/pwicp_rockfall")
+    ap.add_argument("--pair-only", action="store_true")
+    ap.add_argument("--extent", type=float, nargs=2, default=(150.0, 100.0))
+    ap.add_argument("--res", type=float, default=0.3)
+    args = ap.parse_args()
+
+    from piecewise_icp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    summary = run(workdir=args.workdir, epochs=args.epochs, mode=args.mode,
+                  pair_only=args.pair_only, extent=tuple(args.extent),
+                  res=args.res)
     print(json.dumps(summary))
     return 0
 

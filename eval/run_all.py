@@ -89,6 +89,14 @@ def run_mode(report, mode, epochs, kalman=True, icp_variant="reference"):
         entry["mean_trans_mm"] = [round(v, 3) for v in err[:, 3:].mean(0)]
         entry["max_rot_mgon"] = [round(v, 2) for v in err[:, :3].max(0)]
         entry["max_trans_mm"] = [round(v, 3) for v in err[:, 3:].max(0)]
+    smoothed_file = os.path.join(out_dir, "TransPara_AbsError_smoothed.txt")
+    if os.path.exists(smoothed_file):
+        err_s = formats.read_abs_errors(smoothed_file)
+        entry["kalman_smoothed"] = {
+            "mean_rot_mgon": [round(v, 2) for v in err_s[:, :3].mean(0)],
+            "mean_trans_mm": [round(v, 3) for v in err_s[:, 3:].mean(0)],
+            "max_rot_mgon": [round(v, 2) for v in err_s[:, :3].max(0)],
+            "max_trans_mm": [round(v, 3) for v in err_s[:, 3:].max(0)]}
     # direct diff vs the reference's chained goldens (adaptive mode only)
     ref_chained = f"{REF}/results/4DPCReg/TransMatrices_toRef.txt"
     ours_chained = os.path.join(out_dir, "TransMatrices_toRef.txt")
@@ -118,6 +126,9 @@ def main() -> int:
                          "--modes/--variants)")
     ap.add_argument("--scale", type=int, default=0,
                     help="also run the N-epoch scale-demo campaign")
+    ap.add_argument("--rockfall", action="store_true",
+                    help="also run BASELINE configs 3/4 on the simulated "
+                         "rockfall series (eval/rockfall_sim.py)")
     args = ap.parse_args()
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
@@ -133,6 +144,13 @@ def main() -> int:
         cells = [(m, v) for m in args.modes for v in args.variants]
     for mode, variant in cells:
         run_mode(report, mode, args.epochs, icp_variant=variant)
+    if args.rockfall:
+        import rockfall_sim
+
+        report["rockfall"] = rockfall_sim.run()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "rockfall_report.json"), "w") as f:
+            json.dump(report["rockfall"], f, indent=2)
     if args.scale:
         import scale_demo
 

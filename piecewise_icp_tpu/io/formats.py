@@ -125,7 +125,7 @@ def read_trans_matrices(path: str | pathlib.Path, epoch_num: int
     ts_list, tm_list, vcm_list = [], [], []
     pos = 0
     for _ in range(epoch_num):
-        if pos + 1 + 16 + 36 > len(tokens) + 1:
+        if pos + 1 + 16 + 36 > len(tokens):
             raise FileFormatError(f"truncated TransMatrices file: {path}")
         ts_list.append(int(float(tokens[pos]))); pos += 1
         tm = np.array(tokens[pos:pos + 16], dtype=np.float64).reshape(4, 4)

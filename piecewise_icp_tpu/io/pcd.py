@@ -81,6 +81,61 @@ def _header_dtype(hdr: Dict) -> np.dtype:
     return np.dtype({"names": uniq, "formats": formats})
 
 
+def _lzf_decompress(data: bytes, out_len: int) -> bytes:
+    """LZF decode — native (C++, ~GB/s) with a pure-Python fallback."""
+    try:
+        from .. import native
+
+        return native.lzf_decompress(data, out_len)
+    except Exception:
+        pass
+    out = bytearray(out_len)
+    ip, op, n = 0, 0, len(data)
+    while ip < n:
+        ctrl = data[ip]
+        ip += 1
+        if ctrl < 32:                       # literal run
+            run = ctrl + 1
+            if ip + run > n or op + run > out_len:
+                raise ValueError("literal run overruns buffer")
+            out[op:op + run] = data[ip:ip + run]
+            ip += run
+            op += run
+        else:                               # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[ip]
+                ip += 1
+            length += 2
+            ref = op - ((ctrl & 0x1f) << 8) - data[ip] - 1
+            ip += 1
+            if ref < 0 or op + length > out_len:
+                raise ValueError("back reference out of range")
+            for i in range(length):         # overlap-safe byte copy
+                out[op + i] = out[ref + i]
+            op += length
+    if op != out_len:
+        raise ValueError(f"decoded {op} of {out_len} bytes")
+    return bytes(out)
+
+
+def _lzf_compress(data: bytes) -> bytes:
+    """LZF encode — native when available, else a valid literal-only
+    stream (decodes identically, just uncompressed)."""
+    try:
+        from .. import native
+
+        return native.lzf_compress(data)
+    except Exception:
+        pass
+    out = bytearray()
+    for s in range(0, len(data), 32):
+        chunk = data[s:s + 32]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
 def read_pcd(path: str | pathlib.Path) -> np.ndarray:
     """Read a PCD file and return float32 xyz points of shape ``[N, 3]``.
 
@@ -109,9 +164,28 @@ def read_pcd(path: str | pathlib.Path) -> np.ndarray:
         rec = np.frombuffer(body, dtype=dtype, count=n_points)
         xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1)
     elif mode == "binary_compressed":
-        import lzf  # pragma: no cover - optional dependency
-
-        raise FileFormatError("binary_compressed PCD not supported")
+        # PCL layout (pcl::io::loadPCDFile, lzf_image_io): two uint32 LE
+        # (compressed size, uncompressed size), LZF stream, and the
+        # UNCOMPRESSED data is field-major (all x, then all y, ...).
+        if len(raw) < offset + 8:
+            raise FileFormatError("PCD binary_compressed body truncated")
+        comp_len, full_len = np.frombuffer(raw, dtype="<u4", count=2,
+                                           offset=offset)
+        body = raw[offset + 8: offset + 8 + int(comp_len)]
+        if len(body) < comp_len:
+            raise FileFormatError("PCD binary_compressed body truncated")
+        try:
+            data = _lzf_decompress(body, int(full_len))
+        except ValueError as e:
+            raise FileFormatError(f"PCD LZF stream corrupt: {e}") from e
+        cols: Dict[str, np.ndarray] = {}
+        pos = 0
+        for name in dtype.names:
+            sub = np.dtype(dtype.fields[name][0])
+            end = pos + n_points * sub.itemsize
+            cols[name] = np.frombuffer(data[pos:end], dtype=sub)
+            pos = end
+        xyz = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
     else:
         raise FileFormatError(f"unknown PCD data mode: {mode}")
 
@@ -123,11 +197,13 @@ def read_pcd(path: str | pathlib.Path) -> np.ndarray:
 
 
 def write_pcd(path: str | pathlib.Path, points: np.ndarray,
-              binary: bool = True) -> None:
+              binary: bool = True, compressed: bool = False) -> None:
     """Write ``[N, 3]`` float32 xyz points as PCD v0.7.
 
     Matches the layout produced by ``pcl::io::savePCDFileBinary``
-    (Registration.cpp:394) for xyz clouds.
+    (Registration.cpp:394) for xyz clouds; ``compressed=True`` emits the
+    ``binary_compressed`` mode (LZF over field-major data,
+    ``savePCDFileBinaryCompressed`` layout).
     """
     pts = np.ascontiguousarray(np.asarray(points, dtype=np.float32))
     if pts.ndim != 2 or pts.shape[1] != 3:
@@ -146,7 +222,15 @@ def write_pcd(path: str | pathlib.Path, points: np.ndarray,
         f"POINTS {n}\n"
     )
     path = pathlib.Path(path)
-    if binary:
+    if compressed:
+        soa = np.ascontiguousarray(pts.T).tobytes()   # field-major
+        comp = _lzf_compress(soa)
+        with open(path, "wb") as f:
+            f.write((header + "DATA binary_compressed\n").encode("ascii"))
+            f.write(np.array([len(comp), len(soa)],
+                             dtype="<u4").tobytes())
+            f.write(comp)
+    elif binary:
         with open(path, "wb") as f:
             f.write((header + "DATA binary\n").encode("ascii"))
             f.write(pts.tobytes())

@@ -65,6 +65,10 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         lib.pwicp_pca_normals.restype = ctypes.c_int
+        for fn in (lib.pwicp_lzf_decompress, lib.pwicp_lzf_compress):
+            fn.argtypes = [ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+                           ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+            fn.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -145,6 +149,32 @@ def pca_normals(points: np.ndarray, neighbors: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("pwicp_pca_normals failed")
     return out
+
+
+def _c_u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+
+
+def lzf_decompress(data: bytes, out_len: int) -> bytes:
+    """Decompress an LZF stream (the binary_compressed PCD payload,
+    pcl::lzfDecompress semantics)."""
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(out_len, dtype=np.uint8)
+    n = load().pwicp_lzf_decompress(_c_u8(src), src.size, _c_u8(out), out_len)
+    if n != out_len:
+        raise ValueError(f"LZF decompress produced {n} of {out_len} bytes")
+    return out.tobytes()
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Compress to an LZF stream (pcl::lzfCompress-compatible output)."""
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = src.size + src.size // 16 + 64   # worst case: all literals
+    out = np.empty(cap, dtype=np.uint8)
+    n = load().pwicp_lzf_compress(_c_u8(src), src.size, _c_u8(out), cap)
+    if n < 0:
+        raise ValueError("LZF compress failed")
+    return out[:n].tobytes()
 
 
 _CAPI_SRC = _HERE / "pwicp_capi.cpp"

@@ -530,4 +530,102 @@ int pwicp_supervoxel_segment(const float* points, const float* normals,
     return next;
 }
 
+// ---------------------------------------------------------------------------
+// LZF codec — the stream format used by PCL's binary_compressed PCD payload
+// (pcl::lzfCompress / lzfDecompress; loadPCDFile handles this mode).
+// Independent implementation from the stream format:
+//   ctrl < 32             -> literal run of ctrl+1 bytes
+//   ctrl >= 32            -> back-reference; len' = ctrl >> 5 (7 => +extra
+//                            byte), distance = ((ctrl & 31) << 8) + next + 1,
+//                            copies len' + 2 bytes (overlap allowed).
+// ---------------------------------------------------------------------------
+
+int pwicp_lzf_decompress(const unsigned char* in, int in_len,
+                         unsigned char* out, int out_len) {
+    int ip = 0, op = 0;
+    while (ip < in_len) {
+        const unsigned ctrl = in[ip++];
+        if (ctrl < 32) {                         // literal run
+            const int len = (int)ctrl + 1;
+            if (ip + len > in_len || op + len > out_len) return -1;
+            std::memcpy(out + op, in + ip, len);
+            ip += len;
+            op += len;
+        } else {                                 // back reference
+            int len = (int)(ctrl >> 5);
+            if (len == 7) {
+                if (ip >= in_len) return -1;
+                len += in[ip++];
+            }
+            len += 2;
+            if (ip >= in_len) return -1;
+            int ref = op - (((int)(ctrl & 0x1f)) << 8) - (int)in[ip++] - 1;
+            if (ref < 0 || op + len > out_len) return -1;
+            for (int i = 0; i < len; ++i) out[op + i] = out[ref + i];
+            op += len;
+        }
+    }
+    return op;
+}
+
+int pwicp_lzf_compress(const unsigned char* in, int in_len,
+                       unsigned char* out, int out_cap) {
+    constexpr int kHashBits = 14;
+    constexpr int kHashSize = 1 << kHashBits;
+    constexpr int kMaxDist = 8192;               // (31 << 8) + 255 + 1
+    constexpr int kMaxMatch = 264;               // 7 + 255 + 2
+    std::vector<int> table(kHashSize, -1);
+    auto hash3 = [&](int i) {
+        const unsigned v = ((unsigned)in[i] << 16) | ((unsigned)in[i + 1] << 8)
+                           | (unsigned)in[i + 2];
+        return (int)((v * 2654435761u) >> (32 - kHashBits));
+    };
+    int ip = 0, op = 0, lit_start = 0;
+    auto flush_literals = [&](int end) -> bool {
+        int s = lit_start;
+        while (s < end) {
+            const int run = std::min(32, end - s);
+            if (op + 1 + run > out_cap) return false;
+            out[op++] = (unsigned char)(run - 1);
+            std::memcpy(out + op, in + s, run);
+            op += run;
+            s += run;
+        }
+        return true;
+    };
+    while (ip + 2 < in_len) {
+        const int h = hash3(ip);
+        const int cand = table[h];
+        table[h] = ip;
+        if (cand >= 0 && ip - cand <= kMaxDist
+            && in[cand] == in[ip] && in[cand + 1] == in[ip + 1]
+            && in[cand + 2] == in[ip + 2]) {
+            int len = 3;
+            const int max_len = std::min(kMaxMatch, in_len - ip);
+            while (len < max_len && in[cand + len] == in[ip + len]) ++len;
+            if (!flush_literals(ip)) return -1;
+            const int dist = ip - cand - 1;       // stored distance - 1
+            const int lenp = len - 2;
+            if (lenp < 7) {
+                if (op + 2 > out_cap) return -1;
+                out[op++] = (unsigned char)((lenp << 5) | (dist >> 8));
+            } else {
+                if (op + 3 > out_cap) return -1;
+                out[op++] = (unsigned char)((7 << 5) | (dist >> 8));
+                out[op++] = (unsigned char)(lenp - 7);
+            }
+            out[op++] = (unsigned char)(dist & 0xff);
+            // index a couple of positions inside the match for better chains
+            for (int j = 1; j < len && ip + j + 2 < in_len; j += (len > 16 ? 4 : 1))
+                table[hash3(ip + j)] = ip + j;
+            ip += len;
+            lit_start = ip;
+        } else {
+            ++ip;
+        }
+    }
+    if (!flush_literals(in_len)) return -1;
+    return op;
+}
+
 }  // extern "C"

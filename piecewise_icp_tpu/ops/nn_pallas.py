@@ -1,22 +1,32 @@
-"""Pallas TPU kernel for brute-force 1-NN — the hand-scheduled variant.
+"""Pallas TPU kernels for nearest-neighbour search — the hand-scheduled path.
 
-The XLA brute kernel (ops/nn.py) expresses the streaming running-min as
-``lax.map`` over query tiles with an inner ``lax.scan``; this Pallas kernel
-expresses the identical computation as a 2-D grid over (query-tile,
-target-tile) programs with VMEM-resident accumulators, letting Mosaic
-pipeline the target-tile loads against the VPU distance math.
+Two kernels:
 
-Layout notes (see the TPU tiling constraints): coordinates are passed as
-separate ``[Q, 1]`` / ``[1, T]`` arrays so the distance tile
-``[QT, TT]`` is built by a sublane-by-lane broadcast — the natural VPU
-shape — rather than a lane-dim-3 layout that would waste 42/45 of every
-vector register.  Invalid/padded targets are encoded as +1e30 coordinates
-(their distances overflow to +inf and never win the min).
+* ``nn1_pallas`` — brute-force 1-NN.  The whole target cloud is small
+  (142k pts × 3 coords × f32 ≈ 1.7 MB) so it lives VMEM-RESIDENT as three
+  ``[1, T]`` lane-major rows; the grid runs over query tiles only and each
+  program streams the targets through the VPU in ``[QT, TC]`` chunks with
+  an elementwise running min.  This removes the per-(q-tile, t-tile)
+  grid-step overhead that made the round-1 2-D-grid kernel 2.5x slower
+  than XLA: the inner loop is pure VPU work over a resident buffer.
 
-Used for the exact-fallback path and as a benchmark reference; the grid
-hash (ops/grid_nn.py) remains the default because it does ~100x less
-arithmetic.  Falls back to interpret mode automatically off-TPU so tests
-exercise the same code path on CPU.
+* ``grid_range_nn_pallas`` — the grid-hash query kernel (used by
+  ops/grid_nn.py).  Queries are processed in cell-sorted tiles; the host
+  pass computes one contiguous candidate range [lo, hi) per tile in the
+  cell-sorted target array (covering every query's 27-cell window), and a
+  scalar-prefetch BlockSpec DMAs exactly that contiguous slab into VMEM —
+  a dense copy instead of the [Q, 9*M] gather that made the XLA grid
+  query gather-bound (4x slower than brute despite ~100x less
+  arithmetic).  Extra candidates inside the slab are real points, so the
+  result is exact-or-better than the 27-cell window.
+
+Replaces FLANN KD-tree queries (Registration.cpp:737-747,
+CommonFunc.cpp:246-273).  Numerical note: coordinate-difference distances
+only (see ops/nn.py header) — the matmul identity loses ~1e-4 absolute in
+f32 at metre scale.
+
+Falls back to interpret mode automatically off-TPU so tests exercise the
+same code path on CPU.
 """
 
 from __future__ import annotations
@@ -29,50 +39,77 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_QT = 512   # query tile (sublanes)
-_TT = 512   # target tile (lanes)
+from jax.experimental.pallas import tpu as pltpu
+
+_QT = 256        # query tile (sublanes)
+_TC = 2048       # target chunk (lanes) streamed per inner-loop step
 _BIG = 1e30
+_IMAX = np.int32(2**31 - 1)
 
 
-def _nn1_kernel(qx, qy, qz, tx, ty, tz, best_d2, best_i):
-    j = pl.program_id(1)
-    dx = qx[:] - tx[:]          # [QT,1] - [1,TT] -> [QT,TT]
-    dy = qy[:] - ty[:]
-    dz = qz[:] - tz[:]
-    d2 = dx * dx + dy * dy + dz * dz
-    tile_min = jnp.min(d2, axis=1, keepdims=True)
-    tile_arg = (jnp.argmin(d2, axis=1).astype(jnp.int32)
-                + j * d2.shape[1]).reshape(-1, 1)
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
-    @pl.when(j == 0)
-    def _():
-        best_d2[:] = tile_min
-        best_i[:] = tile_arg
 
-    @pl.when(j > 0)
-    def _():
-        upd = tile_min < best_d2[:]
-        best_d2[:] = jnp.where(upd, tile_min, best_d2[:])
-        best_i[:] = jnp.where(upd, tile_arg, best_i[:])
+# ---------------------------------------------------------------------------
+# Brute-force 1-NN: grid over query tiles, targets VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _nn1_kernel(qx, qy, qz, tx, ty, tz, out_d2, out_i, bd, bc):
+    """One query tile vs the whole (padded) target row.
+
+    bd/bc: VMEM scratch [QT, TC] — elementwise running min distance and the
+    chunk id that produced it.  The cross-lane argmin happens ONCE at the
+    end; the hot loop is 3 fma + min + select per element.
+    """
+    n_chunks = tx.shape[1] // _TC
+
+    bd[:] = jnp.full((_QT, _TC), _BIG, dtype=jnp.float32)
+    bc[:] = jnp.zeros((_QT, _TC), dtype=jnp.int32)
+
+    def body(c, _):
+        sl = pl.ds(c * _TC, _TC)
+        dx = qx[:] - tx[:, sl]          # [QT,1] - [1,TC] -> [QT,TC]
+        dy = qy[:] - ty[:, sl]
+        dz = qz[:] - tz[:, sl]
+        d2 = dx * dx + dy * dy + dz * dz
+        upd = d2 < bd[:]
+        bd[:] = jnp.where(upd, d2, bd[:])
+        bc[:] = jnp.where(upd, c, bc[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    best = jnp.min(bd[:], axis=1, keepdims=True)            # [QT, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_QT, _TC), 1)
+    gidx = bc[:] * _TC + lane
+    # first-occurrence tie break: smallest global index among the minima
+    cand = jnp.where(bd[:] == best, gidx, _IMAX)
+    out_d2[:] = best
+    out_i[:] = jnp.min(cand, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _nn1_pallas_padded(q, t, interpret: bool = False):
-    """q [Qp, 3], t [Tp, 3] pre-padded to tile multiples."""
+    """q [Qp, 3] (Qp % QT == 0), t [Tp, 3] (Tp % TC == 0), both padded."""
     qp, tp = q.shape[0], t.shape[0]
     cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
     cols_t = [t[:, c].reshape(1, -1) for c in range(3)]
-    grid = (qp // _QT, tp // _TT)
-    q_spec = pl.BlockSpec((_QT, 1), lambda i, j: (i, 0))
-    t_spec = pl.BlockSpec((1, _TT), lambda i, j: (0, j))
-    out_spec = pl.BlockSpec((_QT, 1), lambda i, j: (i, 0))
+    q_spec = pl.BlockSpec((_QT, 1), lambda i: (i, 0))
+    t_spec = pl.BlockSpec((1, tp), lambda i: (0, 0))   # resident, all steps
+    out_spec = pl.BlockSpec((_QT, 1), lambda i: (i, 0))
     best_d2, best_i = pl.pallas_call(
         _nn1_kernel,
-        grid=grid,
+        grid=(qp // _QT,),
         in_specs=[q_spec] * 3 + [t_spec] * 3,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((qp, 1), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((qp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((qp, 1), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((_QT, _TC), jnp.float32),
+            pltpu.VMEM((_QT, _TC), jnp.int32),
+        ],
         interpret=interpret,
     )(*cols_q, *cols_t)
     return best_i[:, 0], best_d2[:, 0]
@@ -83,14 +120,16 @@ def nn1_pallas(queries: jnp.ndarray, targets: jnp.ndarray,
                t_mask: jnp.ndarray | None = None,
                interpret: bool | None = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact 1-NN; same contract as ops.nn.nn1."""
+    """Exact 1-NN; same contract as ops.nn.nn1 (Euclidean distances,
+    masked/padded queries get +inf)."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu",)
+        interpret = not _on_tpu()
     qn, tn = queries.shape[0], targets.shape[0]
     qpad = (-qn) % _QT
-    tpad = (-tn) % _TT
-    q = jnp.pad(queries, ((0, qpad), (0, 0)))
-    t = jnp.pad(targets, ((0, tpad), (0, 0)), constant_values=_BIG)
+    tpad = (-tn) % _TC
+    q = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
+    t = jnp.pad(targets.astype(jnp.float32), ((0, tpad), (0, 0)),
+                constant_values=_BIG)
     if t_mask is not None:
         tm = jnp.pad(t_mask, (0, tpad))
         t = jnp.where(tm[:, None], t, _BIG)

@@ -83,6 +83,42 @@ class TestPCD:
         back = read_pcd(p)
         np.testing.assert_allclose(back, pts, rtol=1e-6)
 
+    def test_roundtrip_binary_compressed(self, tmp_path, rng):
+        # quantised coordinates so the LZF matcher finds real repeats
+        pts = (rng.normal(size=(5000, 3)) * 100).round().astype(np.float32)
+        p = tmp_path / "x.pcd"
+        write_pcd(p, pts, compressed=True)
+        assert b"binary_compressed" in p.read_bytes()[:300]
+        back = read_pcd(p)
+        np.testing.assert_array_equal(back, pts)
+
+    def test_lzf_codec_roundtrip(self, rng):
+        from piecewise_icp_tpu.io.pcd import _lzf_compress, _lzf_decompress
+
+        for payload in (b"", b"a", b"abc" * 1000,
+                        rng.integers(0, 4, 10000).astype(np.uint8).tobytes(),
+                        rng.integers(0, 256, 5000).astype(np.uint8).tobytes()):
+            comp = _lzf_compress(payload)
+            assert _lzf_decompress(comp, len(payload)) == payload
+
+    def test_lzf_native_and_python_agree(self, rng):
+        pytest.importorskip("piecewise_icp_tpu.native")
+        from piecewise_icp_tpu import native
+        from piecewise_icp_tpu.io import pcd as pcd_mod
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        payload = (rng.integers(0, 8, 20000).astype(np.uint8).tobytes())
+        comp_native = native.lzf_compress(payload)
+        assert len(comp_native) < len(payload)  # compressible input
+        # the pure-python decoder must read the native stream
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "lzf_decompress",
+                               side_effect=RuntimeError):
+            assert pcd_mod._lzf_decompress(
+                comp_native, len(payload)) == payload
+
 
 class TestFolders:
     def test_timestamp_extraction(self):

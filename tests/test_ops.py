@@ -254,6 +254,20 @@ class TestPreprocess:
         r = float(overlap_ratio(jnp.asarray(t), jnp.asarray(s), 0.05))
         assert r == pytest.approx(0.6, abs=0.01)
 
+    def test_overlap_ratio_grid_matches_brute(self, rng):
+        from piecewise_icp_tpu.ops.grid_nn import build_grid
+        from piecewise_icp_tpu.ops.preprocess import overlap_ratio_grid
+
+        t = rng.uniform(size=(800, 3)).astype(np.float32) * 2.0
+        s = (t[:500] + rng.normal(scale=0.03, size=(500, 3))
+             .astype(np.float32))
+        s = np.vstack([s, (t[:100] + 5.0).astype(np.float32)])
+        for dt in (0.02, 0.05, 0.15):
+            brute = float(overlap_ratio(jnp.asarray(t), jnp.asarray(s), dt))
+            grid = build_grid(t, h=dt)
+            fast = float(overlap_ratio_grid(grid, jnp.asarray(s), dt))
+            assert fast == pytest.approx(brute, abs=1e-7), dt
+
     def test_preprocess_pipeline_runs(self, rng):
         pts = rng.normal(scale=1.0, size=(2000, 3)).astype(np.float32)
         out = preprocess_cloud(pts, 0.1, sor_k=10, sor_mult=2.7)
