@@ -83,10 +83,13 @@ def main() -> int:
     sym = {"rot_err_mgon": round(float(np.abs(err_s[:3]).max() * 1000), 2),
            "trans_err_mm": round(float(np.abs(err_s[3:]).max() * 1000), 3)}
 
-    # NN kernel microbenchmarks on a real preprocessed cloud
+    # NN kernel microbenchmarks on a real preprocessed cloud, with a
+    # speed-of-light (roofline) estimate so "kernels at speed-of-light"
+    # (BASELINE.md) is a measured claim, not a slogan.
     import jax.numpy as jnp
 
-    from piecewise_icp_tpu.ops.grid_nn import build_grid, grid_nn1
+    from piecewise_icp_tpu.ops.grid_nn import (build_grid, grid_nn1,
+                                               grid_query_1nn, _grid_query)
     from piecewise_icp_tpu.ops.nn import nn1
     from piecewise_icp_tpu.ops.nn_pallas import nn1_pallas
     from piecewise_icp_tpu.ops.preprocess import voxel_downsample
@@ -104,14 +107,58 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # Roofline model (TPU v5e, one core): VPU ~= 1024 f32 lanes x 4 ALUs
+    # x ~0.94 GHz ~= 3.9e12 f32 op/s; HBM ~= 819 GB/s.  Brute 1-NN is VPU
+    # compute-bound: ~8 ops per (query, target) pair (3 sub, 3 fma-mul,
+    # 2 add; min/select overlap).  The grid kernel is bound by whichever
+    # is larger: slab DMA bytes or slab VPU ops.
+    VPU_OPS = 3.9e12
+    HBM_BPS = 819e9
+    brute_ops = 8.0 * n * n
+    sol_brute_ms = 1e3 * brute_ops / VPU_OPS
+
     grid = build_grid(down, h=4 * cfg.res1)
+    g_args = (jnp.asarray(grid.points), jnp.asarray(grid.cell_starts),
+              jnp.asarray(grid.origin), jnp.asarray(grid.dims, jnp.int32))
+    g_h = jnp.asarray(grid.h, jnp.float32)
+    qmask = jnp.ones((n,), bool)
+
+    from piecewise_icp_tpu.ops.nn_pallas import _QT, _RMAX
+    n_tiles = -(-n // _QT)
+    grid_bytes = n_tiles * _RMAX * 12.0          # 3 f32 rows per slab
+    grid_ops = 8.0 * n * _RMAX
+    sol_grid_ms = 1e3 * max(grid_bytes / HBM_BPS, grid_ops / VPU_OPS)
+
+    # jit the full call chains so eager per-op dispatch (slow over the
+    # device tunnel) does not pollute the kernel timings
+    f_pallas_brute = jax.jit(lambda q: nn1_pallas(q, q)[1])
+    f_grid_pallas = jax.jit(lambda q: grid_query_1nn(
+        q, qmask, *g_args, grid.max_run, g_h)[1])
+    f_grid_prod = jax.jit(lambda q: grid_nn1(q, grid, exact=True)[1])
+
+    t_xla_brute = t_kernel(lambda: nn1(dj, dj)[1])
+    t_pallas_brute = t_kernel(lambda: f_pallas_brute(dj))
+    t_grid_xla = t_kernel(lambda: _grid_query(
+        dj, qmask, *g_args, grid.max_run, g_h)[1])
+    t_grid_pallas = t_kernel(lambda: f_grid_pallas(dj))
+    t_grid_prod = t_kernel(lambda: f_grid_prod(dj))
+
     nn_bench = {
         "n_points": n,
-        "xla_brute_ms": round(1e3 * t_kernel(lambda: nn1(dj, dj)[1]), 1),
-        "pallas_brute_ms": round(
-            1e3 * t_kernel(lambda: nn1_pallas(dj, dj)[1]), 1),
-        "grid_hash_ms": round(
-            1e3 * t_kernel(lambda: grid_nn1(dj, grid, exact=False)[1]), 1),
+        "xla_brute_ms": round(1e3 * t_xla_brute, 1),
+        "pallas_brute_ms": round(1e3 * t_pallas_brute, 1),
+        "grid_xla_gather_ms": round(1e3 * t_grid_xla, 1),
+        "grid_pallas_slab_ms": round(1e3 * t_grid_pallas, 2),
+        "grid_production_exact_ms": round(1e3 * t_grid_prod, 2),
+        "roofline": {
+            "model": "v5e 1-core: VPU 3.9e12 f32op/s, HBM 819 GB/s",
+            "brute_sol_ms": round(sol_brute_ms, 1),
+            "brute_pallas_pct_of_sol": round(
+                100 * sol_brute_ms / (1e3 * t_pallas_brute), 1),
+            "grid_sol_ms": round(sol_grid_ms, 2),
+            "grid_pallas_pct_of_sol": round(
+                100 * sol_grid_ms / (1e3 * t_grid_pallas), 1),
+        },
     }
 
     eps = 1.0 / warm

@@ -43,8 +43,10 @@ def run_pair_bench(report):
     _, gt = formats.read_ground_truth_transforms(GT)
 
     out = {}
-    for variant in ("reference", "symmetric"):
-        c = dataclasses.replace(cfg, icp_variant=variant)
+    cells = [("reference", {}), ("symmetric", {"icp_variant": "symmetric"}),
+             ("propagate_sv", {"supervoxel_method": "propagate"})]
+    for variant, over in cells:
+        c = dataclasses.replace(cfg, **over)
         t0 = time.perf_counter()
         r = register_pair(pts1, pts2, c, sor_mult=cfg.sor_std_mult_4d)
         cold = time.perf_counter() - t0
@@ -61,14 +63,16 @@ def run_pair_bench(report):
     report["pair_bench"] = out
 
 
-def run_mode(report, mode, epochs, kalman=True, icp_variant="reference"):
+def run_mode(report, mode, epochs, kalman=True, icp_variant="reference",
+             resume=False, sv_method="fusion"):
     from piecewise_icp_tpu.config import PiecewiseICPConfig
     from piecewise_icp_tpu.io import formats
     from piecewise_icp_tpu.models.four_d import run_4d
     from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
 
     tag = f"mode{mode}" + ("" if icp_variant == "reference"
-                           else f"_{icp_variant}")
+                           else f"_{icp_variant}") \
+        + ("" if sv_method == "fusion" else f"_{sv_method}")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f"results_{tag}/")
     cfg = PiecewiseICPConfig(
@@ -76,9 +80,10 @@ def run_mode(report, mode, epochs, kalman=True, icp_variant="reference"):
         set_res_svsize=True, res1=0.005, res2=0.005,
         svsize1=0.05, svsize2=0.05, set_dtinit=True,
         dt_init=0.05, dt_min=0.004, kalman_enabled=kalman,
-        icp_variant=icp_variant)
+        icp_variant=icp_variant, supervoxel_method=sv_method)
     t0 = time.perf_counter()
-    ok = run_4d(cfg, 0, epochs, mode, overlap_thd=0.75, ground_truth=GT)
+    ok = run_4d(cfg, 0, epochs, mode, overlap_thd=0.75, ground_truth=GT,
+                resume=resume)
     wall = time.perf_counter() - t0
     entry = {"ok": ok, "wall_s": round(wall, 1),
              "epochs_per_s": round((epochs - 1) / wall, 4)}
@@ -129,6 +134,10 @@ def main() -> int:
     ap.add_argument("--rockfall", action="store_true",
                     help="also run BASELINE configs 3/4 on the simulated "
                          "rockfall series (eval/rockfall_sim.py)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse per-pair npz checkpoints from a previous "
+                         "campaign (recompute chaining/smoothing/errors "
+                         "only)")
     args = ap.parse_args()
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
@@ -138,12 +147,19 @@ def main() -> int:
     if not args.skip_bench:
         run_pair_bench(report)
     if args.matrix:
-        cells = [(int(c.split(":")[0]), c.split(":")[1])
-                 for c in args.matrix.split(",") if c]
+        cells = []
+        for c in args.matrix.split(","):
+            if not c:
+                continue
+            parts = c.split(":")
+            cells.append((int(parts[0]), parts[1],
+                          parts[2] if len(parts) > 2 else "fusion"))
     else:
-        cells = [(m, v) for m in args.modes for v in args.variants]
-    for mode, variant in cells:
-        run_mode(report, mode, args.epochs, icp_variant=variant)
+        cells = [(m, v, "fusion") for m in args.modes
+                 for v in args.variants]
+    for mode, variant, sv in cells:
+        run_mode(report, mode, args.epochs, icp_variant=variant,
+                 resume=args.resume, sv_method=sv)
     if args.rockfall:
         import rockfall_sim
 
@@ -164,17 +180,30 @@ def main() -> int:
         from piecewise_icp_tpu.models.four_d import run_4d
 
         out_dir = "/tmp/pwicp_scale/out/"
+        gt_file = "/tmp/pwicp_scale/defined_transformations.txt"
         cfg = PiecewiseICPConfig(
             path1=scans, path2=out_dir, set_res_svsize=True,
             res1=0.005, res2=0.005, svsize1=0.05, svsize2=0.05,
             set_dtinit=True, dt_init=0.05, dt_min=0.004,
             epoch_digits=4, kalman_enabled=True)
+        # epoch-fleet DP demo: two shards executed sequentially (the TPU
+        # tunnel forbids concurrent device processes); shard 1 finds shard
+        # 0's durable per-pair checkpoints on disk and finalises.  Same
+        # mechanics as N concurrent hosts on a shared filesystem.
         t0 = time.perf_counter()
-        ok = run_4d(cfg, 0, args.scale, 1,
-                    ground_truth="/tmp/pwicp_scale/defined_transformations.txt")
-        wall = time.perf_counter() - t0
-        entry = {"ok": ok, "wall_s": round(wall, 1),
-                 "epochs_per_s": round((args.scale - 1) / wall, 4)}
+        ok0 = run_4d(cfg, 0, args.scale, 1, ground_truth=gt_file,
+                     shard_index=0, shard_count=2)
+        t_shard0 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ok1 = run_4d(cfg, 0, args.scale, 1, ground_truth=gt_file,
+                     shard_index=1, shard_count=2)
+        t_shard1 = time.perf_counter() - t0
+        wall = t_shard0 + t_shard1
+        entry = {"ok": bool(ok0 and ok1), "wall_s": round(wall, 1),
+                 "epochs_per_s": round((args.scale - 1) / wall, 4),
+                 "shard0_s": round(t_shard0, 1),
+                 "shard1_s": round(t_shard1, 1),
+                 "fleet": "2 shards sequential + checkpoint finalise"}
         err_file = os.path.join(out_dir, "TransPara_AbsError.txt")
         if os.path.exists(err_file):
             err = formats.read_abs_errors(err_file)
@@ -182,6 +211,11 @@ def main() -> int:
                                       for v in err[:, :3].mean(0)]
             entry["mean_trans_mm"] = [round(v, 3)
                                       for v in err[:, 3:].mean(0)]
+        smoothed = os.path.join(out_dir, "TransPara_AbsError_smoothed.txt")
+        if os.path.exists(smoothed):
+            err_s = formats.read_abs_errors(smoothed)
+            entry["kalman_smoothed_mean_rot_mgon"] = [
+                round(v, 2) for v in err_s[:, :3].mean(0)]
         report[f"scale_{args.scale}"] = entry
         print(f"[run_all] scale_{args.scale}: {entry}", flush=True)
 

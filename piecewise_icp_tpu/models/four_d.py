@@ -69,22 +69,35 @@ def adaptive_pair_sequence(file_list: Sequence[str], start_epoch: int,
     device before the host blocks — the plan and ratios are identical to
     the sequential scan because candidates are still consumed in order.
     """
-    from ..ops.grid_nn import GridIndex, build_grid
+    from ..ops.grid_nn import build_grid
+    from ..ops.preprocess import overlap_ratio
 
     pairs: Dict[int, int] = {}
     ratios: Dict[int, float] = {}
     clouds: Dict[int, np.ndarray] = {}
-    grids: Dict[int, GridIndex] = {}
+    grids: Dict[int, object] = {}
 
     def cloud(i: int) -> np.ndarray:
         if i not in clouds:
             clouds[i] = read_pcd(file_list[i])
         return clouds[i]
 
-    def grid_of(i: int) -> GridIndex:
+    def grid_of(i: int):
+        # None = dense grid infeasible (DTinit cells too small for the
+        # scene extent, e.g. long-range TLS) -> brute overlap for this
+        # target; identical ratios either way
         if i not in grids:
-            grids[i] = build_grid(cloud(i), h=dt_init)
+            try:
+                grids[i] = build_grid(cloud(i), h=dt_init)
+            except ValueError:
+                grids[i] = None
         return grids[i]
+
+    def eval_overlap(t: int, src):
+        g = grid_of(t)
+        if g is None:
+            return overlap_ratio(jnp.asarray(cloud(t)), src, dt_init)
+        return overlap_ratio_grid(g, src, dt_init)
 
     idx_target = start_epoch
     for j in range(start_epoch + 1, len(file_list)):
@@ -98,8 +111,7 @@ def adaptive_pair_sequence(file_list: Sequence[str], start_epoch: int,
         while i < j:
             window = list(range(i, min(i + batch_window, j)))
             # dispatch the whole window asynchronously, then read in order
-            pending = [(t, overlap_ratio_grid(grid_of(t), src, dt_init))
-                       for t in window]
+            pending = [(t, eval_overlap(t, src)) for t in window]
             hit = False
             for t, r in pending:
                 ratio = float(r)

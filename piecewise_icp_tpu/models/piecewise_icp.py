@@ -202,7 +202,7 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     psum of stable-point counts — so single-device and mesh semantics can
     never drift apart.
     """
-    from ..ops.grid_nn import _grid_query
+    from ..ops.grid_nn import grid_query_1nn
 
     t_icp, stable, lod_min, n_stable, icp_iters = _classify_and_align(
         ct1, n1, std_ct1, ct1_mask, ct2, bp2, std_bp2, ct2_mask,
@@ -232,8 +232,9 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
     pt_stable = cloud2_mask & (labels2 >= 0) & stable[safe_lab]
 
     def compute_percentile(_):
-        _, d, resolved = _grid_query(cloud2, pt_stable, g_pts, g_starts,
-                                     g_origin, g_dims, grid_max_run, g_h)
+        _, d, resolved, strict = grid_query_1nn(
+            cloud2, pt_stable, g_pts, g_starts,
+            g_origin, g_dims, grid_max_run, g_h)
         ok = resolved | (~pt_stable)
         d_ok = jnp.where(ok, d, jnp.inf)
         if axis_name is None:
@@ -245,15 +246,18 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
             d_all = jax.lax.all_gather(d_ok, axis_name, tiled=True)
             stable_n = jax.lax.psum(jnp.sum(pt_stable), axis_name)
             n_resolved = jax.lax.psum(jnp.sum(ok & pt_stable), axis_name)
+            strict = jax.lax.psum(1 - strict.astype(jnp.int32),
+                                  axis_name) == 0
         idx = jnp.clip((stable_n * percentile).astype(jnp.int32), 0,
                        d_all.shape[0] - 1)
         d_grid = jnp.sort(d_all)[idx]
-        # exact when the percentile index lands in the resolved block (all
-        # resolved distances <= h sort before the +inf placeholders); the
-        # HOST re-runs an exact brute pass when exact=False — keeping the
-        # brute kernel out of this program (compiling a merged cond over
-        # both paths takes minutes for real cloud sizes)
-        return d_grid, idx < n_resolved
+        # exact when the dichotomy held (strict) AND the percentile index
+        # lands in the resolved block (all resolved distances <= h sort
+        # before the +inf placeholders); the HOST re-runs an exact brute
+        # pass when exact=False — keeping the brute kernel out of this
+        # program (compiling a merged cond over both paths takes minutes
+        # for real cloud sizes)
+        return d_grid, strict & (idx < n_resolved)
 
     d75, d75_exact = jax.lax.cond(
         need_percentile, compute_percentile,

@@ -243,8 +243,12 @@ def build_patches(points: np.ndarray, sv_resolution: float,
 
     from .. import native
     with gphase("seg.supervoxel"):
-        labels_raw, nsv = native.supervoxel_segment(pts, normals, nbr,
-                                                    resolution=sv_resolution)
+        if getattr(cfg, "supervoxel_method", "fusion") == "propagate":
+            labels_raw, nsv = native.supervoxel_propagate(
+                pts, normals, nbr, resolution=sv_resolution)
+        else:
+            labels_raw, nsv = native.supervoxel_segment(
+                pts, normals, nbr, resolution=sv_resolution)
     log.info("supervoxels generated: %d (cloud %d pts)", nsv, n)
 
     with gphase("seg.patch_stats"):

@@ -61,10 +61,19 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
         lib.pwicp_supervoxel_segment.restype = ctypes.c_int
+        lib.pwicp_supervoxel_propagate.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int32)]
+        lib.pwicp_supervoxel_propagate.restype = ctypes.c_int
         lib.pwicp_pca_normals.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         lib.pwicp_pca_normals.restype = ctypes.c_int
+        lib.pwicp_sor_mean_dist.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float)]
+        lib.pwicp_sor_mean_dist.restype = ctypes.c_int
         for fn in (lib.pwicp_lzf_decompress, lib.pwicp_lzf_compress):
             fn.argtypes = [ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
                            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
@@ -132,6 +141,41 @@ def supervoxel_segment(points: np.ndarray, normals: np.ndarray,
         resolution, n_supervoxels, _c_i32(labels))
     if nsv < 0:
         raise RuntimeError("pwicp_supervoxel_segment failed")
+    return labels, int(nsv)
+
+
+def sor_mean_dist(points: np.ndarray, k: int,
+                  cell_size: float = -1.0) -> np.ndarray:
+    """Mean distance of each point to its k nearest non-self neighbours
+    (the SOR statistic, CommonFunc.cpp:442-452) — exact, host, OpenMP."""
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    out = np.empty((n,), dtype=np.float32)
+    rc = load().pwicp_sor_mean_dist(_c_f32(pts), n, k, cell_size,
+                                    _c_f32(out))
+    if rc != 0:
+        raise RuntimeError("pwicp_sor_mean_dist failed")
+    return out
+
+
+def supervoxel_propagate(points: np.ndarray, normals: np.ndarray,
+                         neighbors: np.ndarray, resolution: float
+                         ) -> tuple[np.ndarray, int]:
+    """Parallel supervoxel segmentation by seeded metric label propagation
+    — the from-scratch alternative to the reference-style energy fusion
+    (see pwicp_host.cpp pwicp_supervoxel_propagate and DESIGN.md).
+    Returns (labels [N] int32, count)."""
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    nrm = np.ascontiguousarray(normals, dtype=np.float32)
+    nbr = np.ascontiguousarray(neighbors, dtype=np.int32)
+    n, k = nbr.shape
+    assert pts.shape == (n, 3) and nrm.shape == (n, 3)
+    labels = np.empty((n,), dtype=np.int32)
+    nsv = load().pwicp_supervoxel_propagate(
+        _c_f32(pts), _c_f32(nrm), _c_i32(nbr), n, k, resolution,
+        _c_i32(labels))
+    if nsv < 0:
+        raise RuntimeError("pwicp_supervoxel_propagate failed")
     return labels, int(nsv)
 
 

@@ -73,9 +73,17 @@ class GridIndex:
         return self.points.shape[0]
 
 
+MAX_GRID_CELLS = 1 << 26   # dense CSR cap: 64M cells = 256 MB of starts
+
+
 def build_grid(targets: np.ndarray, h: float,
                mask: np.ndarray | None = None) -> GridIndex:
-    """Bin + sort targets into a uniform grid of cell size ``h`` (host)."""
+    """Bin + sort targets into a uniform grid of cell size ``h`` (host).
+
+    The CSR ``cell_starts`` array is DENSE over the bounding box — raises
+    ValueError when ``h`` is small relative to the extent (e.g. long-range
+    TLS scenes); callers fall back to the brute kernel then.
+    """
     pts = np.asarray(targets, dtype=np.float32)
     if mask is not None:
         pts = pts[np.asarray(mask)]
@@ -85,6 +93,10 @@ def build_grid(targets: np.ndarray, h: float,
     cell = np.floor((pts - origin) / h).astype(np.int64)
     dims = cell.max(axis=0) + 1
     dx, dy, dz = (int(dims[0]), int(dims[1]), int(dims[2]))
+    if dx * dy * dz > MAX_GRID_CELLS:
+        raise ValueError(
+            f"dense grid of {dx}x{dy}x{dz} cells exceeds MAX_GRID_CELLS "
+            f"(cell size {h} too small for the cloud extent)")
     lin = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
     order = np.argsort(lin, kind="stable").astype(np.int32)
     lin_sorted = lin[order]
@@ -112,6 +124,32 @@ def build_grid(targets: np.ndarray, h: float,
                      cell_starts=starts, origin=origin.astype(np.float32),
                      dims=(dx, dy, dz), h=float(h),
                      max_run=_bucket(max(max_run, 1)))
+
+
+def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,
+                   dims, max_run: int, h):
+    """Backend-dispatched grid 1-NN: (idx into sorted targets, dist,
+    resolved [Q], strict []).
+
+    On TPU this runs the Pallas contiguous-slab kernel
+    (ops/nn_pallas.grid_range_query) — one dense DMA per query tile
+    instead of the [Q, 9*max_run] gather, which made the XLA formulation
+    gather-bound (BENCH_r01: 519.7 ms vs 128.4 ms brute at 142k points).
+    Elsewhere (CPU tests) it keeps the XLA gather formulation.  Both paths
+    guarantee: resolved queries carry their EXACT nearest distance <= h.
+    ``strict`` is True iff additionally every unresolved query's true
+    distance exceeds h (always true for the XLA path; requires full slab
+    coverage for Pallas) — the precondition of the percentile
+    order-statistic exactness argument.
+    """
+    if jax.default_backend() == "tpu":
+        from .nn_pallas import grid_range_query
+
+        return grid_range_query(queries, q_mask, sorted_pts, cell_starts,
+                                origin, dims, h)
+    idx, d, res = _grid_query(queries, q_mask, sorted_pts, cell_starts,
+                              origin, dims, max_run, h)
+    return idx, d, res, jnp.asarray(True)
 
 
 @functools.partial(jax.jit, static_argnames=("max_run", "q_tile"))
@@ -197,7 +235,7 @@ def grid_nn1(queries: jnp.ndarray, grid: GridIndex,
     origin = jnp.asarray(grid.origin)
     ids = jnp.asarray(grid.ids)
 
-    s_idx, dist, resolved = _grid_query(
+    s_idx, dist, resolved, _ = grid_query_1nn(
         queries, q_mask, sorted_pts, starts, origin,
         jnp.asarray(grid.dims, jnp.int32), grid.max_run,
         jnp.asarray(grid.h, queries.dtype))
@@ -329,7 +367,7 @@ def grid_percentile(source: jnp.ndarray, grid: GridIndex, percentile: float,
     starts = jnp.asarray(grid.cell_starts)
     origin = jnp.asarray(grid.origin)
 
-    _, dist, resolved = _grid_query(
+    _, dist, resolved, strict = grid_query_1nn(
         source, s_mask, sorted_pts, starts, origin,
         jnp.asarray(grid.dims, jnp.int32),
         grid.max_run, jnp.asarray(grid.h, source.dtype))
@@ -347,5 +385,5 @@ def grid_percentile(source: jnp.ndarray, grid: GridIndex, percentile: float,
         _, d = brute_nn1(source, sorted_pts, q_mask=s_mask)
         return jnp.sort(jnp.where(jnp.isfinite(d), d, jnp.inf))[idx]
 
-    return jax.lax.cond(idx < n_resolved, from_grid, from_brute,
+    return jax.lax.cond(strict & (idx < n_resolved), from_grid, from_brute,
                         operand=None)

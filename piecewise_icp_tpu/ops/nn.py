@@ -14,8 +14,9 @@ Numerical note: distances are computed coordinate-difference-first
 With centroid-reduced clouds spanning tens of metres and millimetre-level
 distances, the matmul identity loses ~1e-4 absolute in f32 — fatal for the
 mm-accurate distance thresholds.  The difference form keeps error at the
-micrometre level.  (A grid-hash Pallas kernel with cell-local re-centred
-coordinates is the planned MXU path.)
+micrometre level.  (The hand-scheduled fast paths live in ops/nn_pallas.py:
+a VMEM-resident-target brute kernel and the contiguous-slab grid-hash
+query kernel; ops/grid_nn.py dispatches to them on TPU.)
 
 All functions accept padded arrays plus validity masks; padded targets are
 excluded via +inf distance, padded queries return index 0 / +inf.

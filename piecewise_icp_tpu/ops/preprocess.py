@@ -120,7 +120,22 @@ def preprocess_cloud(points: np.ndarray, resolution: float,
     with gphase("prep.voxel"):
         down = voxel_downsample(points, resolution)
     with gphase("prep.sor"):
+        keep = None
         if down.shape[0] > 4096:
+            # primary path: exact kNN statistic on the native host grid
+            # (OpenMP) — the [N, k] neighbour matrix never exists on
+            # device and nothing crosses the tunnel (round-1 fine_phases:
+            # the device SOR was 1.35 s of the 6.1 s warm pair)
+            try:
+                from .. import native
+
+                mean_d = native.sor_mean_dist(down, sor_k).astype(np.float64)
+                mu = mean_d.mean()
+                var = ((mean_d - mu) ** 2).sum() / max(len(mean_d) - 1, 1)
+                keep = mean_d <= mu + sor_mult * np.sqrt(var)
+            except Exception:  # pragma: no cover - native unavailable
+                keep = None
+        if keep is None and down.shape[0] > 4096:
             from .grid_nn import build_grid
 
             h = max(1.5 * np.sqrt((sor_k + 1) / np.pi), 4.0) * resolution
@@ -131,7 +146,7 @@ def preprocess_cloud(points: np.ndarray, resolution: float,
                 jnp.asarray(grid.dims, jnp.int32),
                 jnp.asarray(grid.h, jnp.float32),
                 sor_k, grid.max_run, sor_mult))
-        else:
+        elif keep is None:
             keep = np.asarray(sor_filter_mask(jnp.asarray(down), None,
                                               k=sor_k, std_mult=sor_mult))
     return down[keep]
@@ -189,6 +204,9 @@ def overlap_ratio_grid(target_grid, source: jnp.ndarray,
     ``overlap_ratio`` bit-for-bit with ~100x less arithmetic (no fallback
     branch needed).
     """
+    # stays on the XLA gather formulation: its unresolved => true-dist > h
+    # dichotomy is what makes the ratio bit-identical to brute force (the
+    # Pallas slab path weakens `resolved` with a coverage term)
     from .grid_nn import _grid_query
 
     if abs(target_grid.h - dt_init) > 1e-12 * max(dt_init, 1.0):

@@ -106,3 +106,49 @@ class TestSupervoxel:
         counts = np.bincount(labels, minlength=nsv)
         # average patch should have a sensible number of members
         assert counts.mean() > 5
+
+
+class TestSupervoxelPropagate:
+    """Parallel label-propagation segmenter: same contract as fusion."""
+
+    def test_labels_valid_and_coherent(self, lib_ok, rng):
+        pts, normals = TestSupervoxel._two_plane_cloud(
+            TestSupervoxel(), rng)
+        nbr = native.knn_graph(pts, 10)
+        labels, nsv = native.supervoxel_propagate(pts, normals, nbr,
+                                                  resolution=0.3)
+        n = pts.shape[0]
+        assert labels.shape == (n,)
+        assert labels.min() >= 0 and labels.max() < nsv
+        assert 2 <= nsv < n
+        half = n // 2
+        l1 = set(labels[:half].tolist())
+        l2 = set(labels[half:].tolist())
+        assert len(l1 & l2) / max(len(l1 | l2), 1) < 0.2
+
+    def test_equivalent_statistics_to_fusion(self, lib_ok, rng):
+        pts = (rng.uniform(size=(6000, 2)) * 2.0).astype(np.float32)
+        z = (0.05 * pts[:, 0]
+             + rng.normal(scale=0.002, size=6000)).astype(np.float32)
+        cloud = np.column_stack([pts, z]).astype(np.float32)
+        nbr = native.knn_graph(cloud, 20)
+        normals = native.pca_normals(cloud, nbr)
+        lab_f, k_f = native.supervoxel_segment(cloud, normals, nbr,
+                                               resolution=0.12)
+        lab_p, k_p = native.supervoxel_propagate(cloud, normals, nbr,
+                                                 resolution=0.12)
+        # same GridSample-derived seed count, comparable size spectrum
+        assert k_p == k_f
+        c_f = np.bincount(lab_f, minlength=k_f)
+        c_p = np.bincount(lab_p, minlength=k_p)
+        assert abs(np.median(c_p) - np.median(c_f)) <= \
+            0.3 * max(np.median(c_f), 1)
+
+    def test_deterministic(self, lib_ok, rng):
+        pts = rng.uniform(size=(2000, 3)).astype(np.float32)
+        nbr = native.knn_graph(pts, 12)
+        normals = native.pca_normals(pts, nbr)
+        a, ka = native.supervoxel_propagate(pts, normals, nbr, 0.2)
+        b, kb = native.supervoxel_propagate(pts, normals, nbr, 0.2)
+        assert ka == kb
+        np.testing.assert_array_equal(a, b)

@@ -1,10 +1,11 @@
-"""Pallas 1-NN kernel vs exact brute force (interpret mode on CPU)."""
+"""Pallas NN kernels vs exact brute force (interpret mode on CPU)."""
 
 import jax.numpy as jnp
 import numpy as np
 
+from piecewise_icp_tpu.ops.grid_nn import build_grid
 from piecewise_icp_tpu.ops.nn import nn1
-from piecewise_icp_tpu.ops.nn_pallas import nn1_pallas
+from piecewise_icp_tpu.ops.nn_pallas import grid_range_query, nn1_pallas
 
 
 def _brute(q, t):
@@ -54,3 +55,69 @@ class TestPallasNN:
             q.astype(np.float64) - base[np.asarray(idx)], axis=1)
         np.testing.assert_allclose(np.asarray(dist), d_exact,
                                    rtol=1e-3, atol=2e-6)
+
+
+def _range_query(q, grid, q_mask=None):
+    if q_mask is None:
+        q_mask = jnp.ones((q.shape[0],), bool)
+    return grid_range_query(
+        jnp.asarray(q), q_mask, jnp.asarray(grid.points),
+        jnp.asarray(grid.cell_starts), jnp.asarray(grid.origin),
+        jnp.asarray(grid.dims, jnp.int32),
+        jnp.asarray(grid.h, jnp.float32))
+
+
+def _cell_sort(q, grid):
+    cell = np.floor((q - grid.origin) / grid.h).astype(np.int64)
+    d = grid.dims
+    lin = ((np.clip(cell[:, 0], 0, d[0] - 1) * d[1]
+            + np.clip(cell[:, 1], 0, d[1] - 1)) * d[2]
+           + np.clip(cell[:, 2], 0, d[2] - 1))
+    return q[np.argsort(lin, kind="stable")]
+
+
+class TestGridRangeQuery:
+    """Contiguous-slab grid kernel: exactness contract on every path."""
+
+    def test_coherent_queries_all_exact(self, rng):
+        t = (rng.uniform(size=(8000, 3))
+             * np.array([3.0, 2.0, 1.0])).astype(np.float32)
+        q = _cell_sort(
+            t + rng.normal(scale=0.004, size=t.shape).astype(np.float32),
+            build_grid(t, h=0.02))
+        grid = build_grid(t, h=0.02)
+        idx, d, res, strict = (np.asarray(a) for a in _range_query(q, grid))
+        bi, bd = nn1(jnp.asarray(q), jnp.asarray(grid.points))
+        bi, bd = np.asarray(bi), np.asarray(bd)
+        assert bool(strict)
+        # coherent sorted queries: (almost) everything resolves in-slab
+        assert res.mean() > 0.999
+        np.testing.assert_array_equal(d[res], bd[res])
+        np.testing.assert_array_equal(idx[res], bi[res])
+        assert (bd[~res] > grid.h).all()   # dichotomy for the rest
+
+    def test_resolved_always_exact_even_scrambled(self, rng):
+        # scrambled query order: tiles span huge ranges -> coverage drops,
+        # but any query reported resolved must still be exact
+        t = (rng.uniform(size=(20000, 3)) * 8.0).astype(np.float32)
+        q = (rng.uniform(size=(3000, 3)) * 8.0).astype(np.float32)
+        grid = build_grid(t, h=0.15)
+        idx, d, res, strict = (np.asarray(a) for a in _range_query(q, grid))
+        bi, bd = nn1(jnp.asarray(q), jnp.asarray(grid.points))
+        bd = np.asarray(bd)
+        np.testing.assert_allclose(d[res], bd[res], rtol=0, atol=0)
+        if bool(strict):
+            # dichotomy: unresolved => true distance > h
+            assert (bd[~res] > grid.h).all()
+
+    def test_masked_queries(self, rng):
+        t = (rng.uniform(size=(5000, 3)) * 2.0).astype(np.float32)
+        q = _cell_sort(t.copy(), build_grid(t, h=0.05))
+        grid = build_grid(t, h=0.05)
+        qm = np.ones(q.shape[0], bool)
+        qm[::3] = False
+        idx, d, res, _ = (np.asarray(a) for a in
+                          _range_query(q, grid, jnp.asarray(qm)))
+        assert np.isinf(d[~qm]).all()
+        assert res[~qm].all()          # masked queries count as resolved
+        assert (d[qm] == 0.0).all()    # q is a permutation of t

@@ -268,6 +268,21 @@ class TestPreprocess:
             fast = float(overlap_ratio_grid(grid, jnp.asarray(s), dt))
             assert fast == pytest.approx(brute, abs=1e-7), dt
 
+    def test_native_sor_matches_device_stat(self, rng):
+        pytest.importorskip("piecewise_icp_tpu.native")
+        from piecewise_icp_tpu import native
+        from piecewise_icp_tpu.ops.nn import knn as brute_knn
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        pts = rng.normal(size=(3000, 3)).astype(np.float32)
+        k = 14
+        mean_native = native.sor_mean_dist(pts, k)
+        _, d = brute_knn(jnp.asarray(pts), jnp.asarray(pts), k + 1)
+        mean_dev = np.asarray(d)[:, 1:].mean(axis=1)
+        np.testing.assert_allclose(mean_native, mean_dev, rtol=2e-5,
+                                   atol=1e-7)
+
     def test_preprocess_pipeline_runs(self, rng):
         pts = rng.normal(scale=1.0, size=(2000, 3)).astype(np.float32)
         out = preprocess_cloud(pts, 0.1, sor_k=10, sor_mult=2.7)
