@@ -43,6 +43,7 @@ GT_PATH = pathlib.Path(
 
 MODES = {  # mode id -> (results dir suffix, per-pair file tag)
     "-1": ("results_mode-1", "Adaptive"),
+    "-1p": ("results_mode-1_propagate", "Adaptive"),
     "1": ("results_mode1", "Fixed"),
     "3": ("results_mode3", "Fixed"),
     "0": ("results_mode0", "Direct2Ref"),
