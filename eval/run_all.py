@@ -134,6 +134,9 @@ def main() -> int:
     ap.add_argument("--rockfall", action="store_true",
                     help="also run BASELINE configs 3/4 on the simulated "
                          "rockfall series (eval/rockfall_sim.py)")
+    ap.add_argument("--mesh-check", action="store_true",
+                    help="verify a 1-device-mesh registration reproduces "
+                         "the default path (Pallas under shard_map)")
     ap.add_argument("--resume", action="store_true",
                     help="reuse per-pair npz checkpoints from a previous "
                          "campaign (recompute chaining/smoothing/errors "
@@ -160,6 +163,33 @@ def main() -> int:
     for mode, variant, sv in cells:
         run_mode(report, mode, args.epochs, icp_variant=variant,
                  resume=args.resume, sv_method=sv)
+    if args.mesh_check:
+        # 1-device-mesh pairwise registration must reproduce the default
+        # path (validates the Pallas kernels under shard_map on real TPU)
+        import jax
+        from jax.sharding import Mesh
+
+        from piecewise_icp_tpu.config import PiecewiseICPConfig
+        from piecewise_icp_tpu.io import formats, read_pcd
+        from piecewise_icp_tpu.models.pairwise import register_pair
+        from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+        cfg = PiecewiseICPConfig(
+            set_res_svsize=True, res1=0.005, res2=0.005,
+            svsize1=0.05, svsize2=0.05, set_dtinit=True,
+            dt_init=0.05, dt_min=0.004)
+        pts1 = read_pcd(f"{DATA}/Epoch_001.pcd")
+        pts2 = read_pcd(f"{DATA}/Epoch_002.pcd")
+        r0 = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("pt",))
+        r1 = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d,
+                           mesh=mesh)
+        diff = np.abs(matrix_to_params_gon(r1.trans_mat)
+                      - matrix_to_params_gon(r0.trans_mat))
+        report["mesh_check"] = {
+            "max_rot_diff_mgon": round(float(diff[:3].max() * 1000), 4),
+            "max_trans_diff_mm": round(float(diff[3:].max() * 1000), 4)}
+        print(f"[run_all] mesh_check: {report['mesh_check']}", flush=True)
     if args.rockfall:
         import rockfall_sim
 
@@ -221,8 +251,18 @@ def main() -> int:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "run_all_report.json")
+    # merge into the standing report so partial matrices never clobber
+    # previously recorded cells
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(report)
     with open(out, "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(report))
     return 0
 

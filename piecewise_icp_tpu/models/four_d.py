@@ -82,13 +82,24 @@ def adaptive_pair_sequence(file_list: Sequence[str], start_epoch: int,
             clouds[i] = read_pcd(file_list[i])
         return clouds[i]
 
+    # one executable for every target grid: max_run is a STATIC compile
+    # key of the grid query, so per-epoch occupancy jitter would recompile
+    # (~30 s each over the tunnel); pin a generous shared bucket and only
+    # grow it (rare) when a target actually exceeds it.  A larger max_run
+    # only adds masked slots — exactness is untouched.
+    pinned_run = [256]
+
     def grid_of(i: int):
         # None = dense grid infeasible (DTinit cells too small for the
         # scene extent, e.g. long-range TLS) -> brute overlap for this
         # target; identical ratios either way
         if i not in grids:
             try:
-                grids[i] = build_grid(cloud(i), h=dt_init)
+                g = build_grid(cloud(i), h=dt_init)
+                if g.max_run > pinned_run[0]:
+                    pinned_run[0] = 2 * g.max_run
+                g.max_run = pinned_run[0]
+                grids[i] = g
             except ValueError:
                 grids[i] = None
         return grids[i]
@@ -108,9 +119,17 @@ def adaptive_pair_sequence(file_list: Sequence[str], start_epoch: int,
         src = jnp.asarray(cloud(j))
         ratio = 0.0
         i = idx_target
+        first_probe = True
         while i < j:
-            window = list(range(i, min(i + batch_window, j)))
-            # dispatch the whole window asynchronously, then read in order
+            if first_probe:
+                # the previous pair's target usually still passes — probe
+                # it alone before fanning out (building windows of grids
+                # that get discarded costs compiles and loads)
+                window = [i]
+                first_probe = False
+            else:
+                window = list(range(i, min(i + batch_window, j)))
+            # dispatch the window asynchronously, then read in order
             pending = [(t, eval_overlap(t, src)) for t in window]
             hit = False
             for t, r in pending:

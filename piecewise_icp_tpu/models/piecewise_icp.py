@@ -374,12 +374,19 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     max_lod = dt_min * cfg.lod_max_ratio
     sv_sum = float(sv1 + sv2)
 
+    # grid_max_run is a STATIC jit arg, but the TPU (Pallas slab) grid path
+    # never reads it — pin it there so per-epoch occupancy jitter cannot
+    # recompile the fused iteration (one recompile costs ~30 s over the
+    # device tunnel); the XLA gather path (CPU) still needs the real value
+    step_max_run = (0 if jax.default_backend() == "tpu"
+                    else cloud1_grid.max_run)
+
     if mesh is not None:
         from ..parallel.sharded import build_sharded_iteration
         step_fn = build_sharded_iteration(
             mesh, mesh.axis_names[0],
             icp_max_iterations=cfg.icp_max_iterations,
-            grid_max_run=cloud1_grid.max_run,
+            grid_max_run=step_max_run,
             icp_trans_eps=cfg.icp_transformation_eps,
             icp_fitness_eps=cfg.icp_fitness_eps,
             icp_variant=cfg.icp_variant)
@@ -387,7 +394,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         step_fn = functools.partial(
             _iteration_step,
             icp_max_iterations=cfg.icp_max_iterations,
-            grid_max_run=cloud1_grid.max_run,
+            grid_max_run=step_max_run,
             icp_trans_eps=cfg.icp_transformation_eps,
             icp_fitness_eps=cfg.icp_fitness_eps,
             icp_variant=cfg.icp_variant)

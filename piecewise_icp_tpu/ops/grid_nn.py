@@ -60,13 +60,14 @@ def _pad_subset(sub: np.ndarray, total: int) -> np.ndarray:
 class GridIndex:
     """Host-built uniform-grid index over a target cloud."""
 
-    points: np.ndarray        # [T, 3] sorted by cell id (f32)
-    ids: np.ndarray           # [T] original target indices (int32)
+    points: np.ndarray        # [Tb, 3] sorted by cell id, bucket-padded
+    ids: np.ndarray           # [Tb] original target indices (int32)
     cell_starts: np.ndarray   # [n_cells + 1] CSR offsets (int32)
     origin: np.ndarray        # [3] f32
     dims: Tuple[int, int, int]
     h: float
     max_run: int              # bucketed max occupancy of any 3-z-cell run
+    n_real: int = 0           # real (unpadded) target count
 
     @property
     def n_targets(self) -> int:
@@ -120,10 +121,23 @@ def build_grid(targets: np.ndarray, h: float,
         max_run = int(run3.max()) if run3.size else int(counts.max())
     else:
         max_run = int(counts.max()) * dz
-    return GridIndex(points=pts[order], ids=order,
+    # bucket the POINT count too: the sorted arrays feed jitted programs
+    # whose compile key is their shape — without this every epoch of a
+    # campaign has a unique size and recompiles the fused iteration
+    # (~30 s/pair over the device tunnel).  Padding points sit at +BIG
+    # beyond every CSR run, so they never win any query.
+    n_real = pts.shape[0]
+    n_pad = _bucket(max(n_real, 1), base=4096) - n_real
+    pts_sorted = pts[order]
+    ids = order
+    if n_pad > 0:
+        pts_sorted = np.concatenate(
+            [pts_sorted, np.full((n_pad, 3), 1e30, dtype=np.float32)])
+        ids = np.concatenate([ids, np.zeros(n_pad, dtype=np.int32)])
+    return GridIndex(points=pts_sorted, ids=ids,
                      cell_starts=starts, origin=origin.astype(np.float32),
                      dims=(dx, dy, dz), h=float(h),
-                     max_run=_bucket(max(max_run, 1)))
+                     max_run=_bucket(max(max_run, 1)), n_real=n_real)
 
 
 def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,

@@ -204,19 +204,27 @@ def overlap_ratio_grid(target_grid, source: jnp.ndarray,
     ``overlap_ratio`` bit-for-bit with ~100x less arithmetic (no fallback
     branch needed).
     """
-    # stays on the XLA gather formulation: its unresolved => true-dist > h
-    # dichotomy is what makes the ratio bit-identical to brute force (the
-    # Pallas slab path weakens `resolved` with a coverage term)
-    from .grid_nn import _grid_query
+    from .grid_nn import _bucket, grid_query_1nn
 
     if abs(target_grid.h - dt_init) > 1e-12 * max(dt_init, 1.0):
         raise ValueError("overlap grid must be built with h == dt_init")
-    mask = jnp.ones((source.shape[0],), dtype=bool)
-    _, d, resolved = _grid_query(
-        source, mask, jnp.asarray(target_grid.points),
+    n = source.shape[0]
+    # bucket the query count so differently sized epochs share one
+    # executable (each fresh shape costs a slow tunnel compile)
+    pad = _bucket(max(n, 1), base=4096) - n
+    src = jnp.pad(source, ((0, pad), (0, 0)))
+    mask = jnp.arange(n + pad) < n
+    _, d, resolved, strict = grid_query_1nn(
+        src, mask, jnp.asarray(target_grid.points),
         jnp.asarray(target_grid.cell_starts),
         jnp.asarray(target_grid.origin),
         jnp.asarray(target_grid.dims, jnp.int32), target_grid.max_run,
         jnp.asarray(target_grid.h, source.dtype))
-    hit = resolved & jnp.isfinite(d) & (d < dt_init)
-    return jnp.sum(hit) / jnp.maximum(source.shape[0], 1)
+    if bool(strict):
+        # dichotomy held for every query: resolved & d<h count is the
+        # EXACT brute ratio (host-level decision; this fn is not jitted)
+        hit = mask & resolved & jnp.isfinite(d) & (d < dt_init)
+        return jnp.sum(hit) / jnp.maximum(n, 1)
+    # slab coverage failed somewhere (scrambled query order) -> brute
+    return overlap_ratio(jnp.asarray(target_grid.points[:target_grid
+                         .n_real]), source, dt_init)

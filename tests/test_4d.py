@@ -151,3 +151,38 @@ class Test4DPipeline:
         raw_err = np.abs(raw[:, 1:7] - gt_params).mean()
         sm_err = np.abs(sm[:, 1:7] - gt_params).mean()
         assert sm_err <= raw_err * 1.25 + 1e-4
+
+
+def test_adaptive_plan_identical_to_naive_scan(tmp_path, rng):
+    """The windowed/probe-first planner must reproduce the reference's
+    naive sequential scan exactly (calAdaptivePairSequence,
+    Registration.cpp:552-589) on an advancing-target series."""
+    import jax.numpy as jnp
+
+    from piecewise_icp_tpu.io import write_pcd
+    from piecewise_icp_tpu.models.four_d import adaptive_pair_sequence
+    from piecewise_icp_tpu.ops.preprocess import overlap_ratio
+
+    base = (rng.uniform(size=(3000, 3)) * 2).astype(np.float32)
+    drift = np.zeros(3, np.float32)
+    files, clouds = [], []
+    for k in range(7):
+        drift += rng.normal(scale=0.02, size=3).astype(np.float32)
+        c = (base + drift
+             + rng.normal(scale=0.002, size=base.shape).astype(np.float32))
+        p = tmp_path / f"Epoch_{k + 1:03d}.pcd"
+        write_pcd(p, c)
+        files.append(str(p))
+        clouds.append(c)
+    dt, thd = 0.03, 0.75
+    pairs, _ = adaptive_pair_sequence(files, 0, dt, thd)
+    naive, idx_t = {}, 0
+    for j in range(1, 7):
+        for i in range(idx_t, j):
+            r = float(overlap_ratio(jnp.asarray(clouds[i]),
+                                    jnp.asarray(clouds[j]), dt))
+            idx_t = i
+            if r > thd:
+                break
+        naive[j] = idx_t
+    assert pairs == naive
