@@ -43,8 +43,7 @@ def run_pair_bench(report):
     _, gt = formats.read_ground_truth_transforms(GT)
 
     out = {}
-    cells = [("reference", {}), ("symmetric", {"icp_variant": "symmetric"}),
-             ("propagate_sv", {"supervoxel_method": "propagate"})]
+    cells = [("reference", {}), ("symmetric", {"icp_variant": "symmetric"})]
     for variant, over in cells:
         c = dataclasses.replace(cfg, **over)
         t0 = time.perf_counter()
@@ -64,15 +63,14 @@ def run_pair_bench(report):
 
 
 def run_mode(report, mode, epochs, kalman=True, icp_variant="reference",
-             resume=False, sv_method="fusion"):
+             resume=False):
     from piecewise_icp_tpu.config import PiecewiseICPConfig
     from piecewise_icp_tpu.io import formats
     from piecewise_icp_tpu.models.four_d import run_4d
     from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
 
     tag = f"mode{mode}" + ("" if icp_variant == "reference"
-                           else f"_{icp_variant}") \
-        + ("" if sv_method == "fusion" else f"_{sv_method}")
+                           else f"_{icp_variant}")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f"results_{tag}/")
     cfg = PiecewiseICPConfig(
@@ -80,7 +78,7 @@ def run_mode(report, mode, epochs, kalman=True, icp_variant="reference",
         set_res_svsize=True, res1=0.005, res2=0.005,
         svsize1=0.05, svsize2=0.05, set_dtinit=True,
         dt_init=0.05, dt_min=0.004, kalman_enabled=kalman,
-        icp_variant=icp_variant, supervoxel_method=sv_method)
+        icp_variant=icp_variant)
     t0 = time.perf_counter()
     ok = run_4d(cfg, 0, epochs, mode, overlap_thd=0.75, ground_truth=GT,
                 resume=resume)
@@ -155,14 +153,12 @@ def main() -> int:
             if not c:
                 continue
             parts = c.split(":")
-            cells.append((int(parts[0]), parts[1],
-                          parts[2] if len(parts) > 2 else "fusion"))
+            cells.append((int(parts[0]), parts[1]))
     else:
-        cells = [(m, v, "fusion") for m in args.modes
-                 for v in args.variants]
-    for mode, variant, sv in cells:
+        cells = [(m, v) for m in args.modes for v in args.variants]
+    for mode, variant in cells:
         run_mode(report, mode, args.epochs, icp_variant=variant,
-                 resume=args.resume, sv_method=sv)
+                 resume=args.resume)
     if args.mesh_check:
         # 1-device-mesh pairwise registration must reproduce the default
         # path (validates the Pallas kernels under shard_map on real TPU)

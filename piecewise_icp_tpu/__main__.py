@@ -25,10 +25,6 @@ def main(argv=None) -> int:
     p_pair.add_argument("--mesh-devices", type=int, default=0,
                         help="run multi-chip over an N-device mesh "
                              "(0 = single device)")
-    p_pair.add_argument("--supervoxel-method", default="fusion",
-                        choices=["fusion", "propagate"],
-                        help="segmenter: reference-style energy fusion or "
-                             "the parallel label-propagation formulation")
 
     p_4d = sub.add_parser("4d", help="4D time-series registration")
     p_4d.add_argument("--config", required=True)
@@ -47,8 +43,6 @@ def main(argv=None) -> int:
                       help="reuse finished pairs from <out>/pairs/*.npz")
     p_4d.add_argument("--no-finalize", action="store_true",
                       help="skip chaining/accuracy (another shard will)")
-    p_4d.add_argument("--supervoxel-method", default="fusion",
-                      choices=["fusion", "propagate"])
     p_4d.add_argument("--mesh-devices", type=int, default=0,
                       help="run each pairwise registration multi-chip over "
                            "an N-device mesh (0 = single device)")
@@ -65,14 +59,10 @@ def main(argv=None) -> int:
 
     if args.cmd == "pair":
         from .models.pairwise import piecewise_icp_pair_call
-        ok = piecewise_icp_pair_call(
-            args.config, args.out, mesh=mesh,
-            supervoxel_method=args.supervoxel_method)
+        ok = piecewise_icp_pair_call(args.config, args.out, mesh=mesh)
     else:
         from .models.four_d import piecewise_icp_4d_call
         overrides = {"kalman_enabled": True} if args.kalman else {}
-        if args.supervoxel_method != "fusion":
-            overrides["supervoxel_method"] = args.supervoxel_method
         ok = piecewise_icp_4d_call(args.config, args.start_epoch,
                                    args.epochs, args.mode, args.overlap_thd,
                                    ground_truth=args.ground_truth,

@@ -80,14 +80,6 @@ class PiecewiseICPConfig:
     # tightens transforms beyond the reference's accuracy.  Opt-in.
     icp_variant: str = "reference"
 
-    # Supervoxel segmenter: "fusion" = greedy energy-minimising fusion
-    # (the reference's sequential algorithm, Lin 2018 — kept for
-    # compatibility); "propagate" = seeded metric label propagation
-    # (from-scratch parallel formulation, see pwicp_host.cpp
-    # pwicp_supervoxel_propagate and DESIGN.md) — OpenMP round-parallel,
-    # deterministic, same VCCS metric and GridSample seed count.
-    supervoxel_method: str = "fusion"
-
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)
     epoch_digits: int = 3          # timestamp length (CommonFunc.cpp:191)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PiecewiseICPConfig
-from ..ops.grid_nn import build_grid, grid_percentile
+from ..ops.grid_nn import build_grid
 from ..ops.preprocess import percentile_c2c
 from ..ops.transform import apply_transform, masked_aabb, \
     bounding_box_corner_change

@@ -6,8 +6,9 @@ TPU-native reformulation of ``PatchGenerationAndRefinement``
 1. 45-NN graph (native grid kNN on host, or the device kNN kernel),
 2. per-point PCA normals — batched closed-form 3x3 eigensolve on device
    (replaces the per-point loop at Segmentation.cpp:37-45),
-3. supervoxel segmentation (native host runtime; energy-minimising fusion
-   with the VCCS metric, supervoxel_segmentation.h:66-248),
+3. supervoxel segmentation by seeded metric label propagation (the
+   framework's from-scratch parallel segmenter; covers the role of the
+   reference's sequential energy fusion, supervoxel_segmentation.h:66-248),
 4. patch refinement/selection/statistics — ALL patches at once via masked
    segment reductions (replaces the per-supervoxel loop at
    Segmentation.cpp:107-150):
@@ -126,7 +127,7 @@ def knn_graph(points: np.ndarray, k: int, impl: str = "auto",
     """
     if impl in ("auto", "native"):
         # Default: the host C++ grid search.  The graph is consumed on host
-        # (native normals + supervoxel fusion), so keeping it host-side
+        # (native normals + supervoxel propagation), so keeping it host-side
         # avoids shipping [N, k] int32 across the (bandwidth-limited) device
         # tunnel — faster end-to-end than the device kernel despite the
         # device's raw-compute edge.
@@ -243,12 +244,8 @@ def build_patches(points: np.ndarray, sv_resolution: float,
 
     from .. import native
     with gphase("seg.supervoxel"):
-        if getattr(cfg, "supervoxel_method", "fusion") == "propagate":
-            labels_raw, nsv = native.supervoxel_propagate(
-                pts, normals, nbr, resolution=sv_resolution)
-        else:
-            labels_raw, nsv = native.supervoxel_segment(
-                pts, normals, nbr, resolution=sv_resolution)
+        labels_raw, nsv = native.supervoxel_propagate(
+            pts, normals, nbr, resolution=sv_resolution)
     log.info("supervoxels generated: %d (cloud %d pts)", nsv, n)
 
     with gphase("seg.patch_stats"):

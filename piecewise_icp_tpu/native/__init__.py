@@ -56,11 +56,6 @@ def load() -> ctypes.CDLL:
         lib.pwicp_grid_sample_count.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double]
         lib.pwicp_grid_sample_count.restype = ctypes.c_int
-        lib.pwicp_supervoxel_segment.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
-        lib.pwicp_supervoxel_segment.restype = ctypes.c_int
         lib.pwicp_supervoxel_propagate.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -122,28 +117,6 @@ def grid_sample_count(points: np.ndarray, resolution: float) -> int:
                                               resolution))
 
 
-def supervoxel_segment(points: np.ndarray, normals: np.ndarray,
-                       neighbors: np.ndarray, resolution: float,
-                       n_supervoxels: int = -1) -> tuple[np.ndarray, int]:
-    """Segment into supervoxels; returns (labels [N] int32, count).
-
-    Native equivalent of SupervoxelSegmentation
-    (supervoxel_segmentation.h:66-248) with the VCCS metric.
-    """
-    pts = np.ascontiguousarray(points, dtype=np.float32)
-    nrm = np.ascontiguousarray(normals, dtype=np.float32)
-    nbr = np.ascontiguousarray(neighbors, dtype=np.int32)
-    n, k = nbr.shape
-    assert pts.shape == (n, 3) and nrm.shape == (n, 3)
-    labels = np.empty((n,), dtype=np.int32)
-    nsv = load().pwicp_supervoxel_segment(
-        _c_f32(pts), _c_f32(nrm), _c_i32(nbr), n, k,
-        resolution, n_supervoxels, _c_i32(labels))
-    if nsv < 0:
-        raise RuntimeError("pwicp_supervoxel_segment failed")
-    return labels, int(nsv)
-
-
 def sor_mean_dist(points: np.ndarray, k: int,
                   cell_size: float = -1.0) -> np.ndarray:
     """Mean distance of each point to its k nearest non-self neighbours
@@ -161,9 +134,10 @@ def sor_mean_dist(points: np.ndarray, k: int,
 def supervoxel_propagate(points: np.ndarray, normals: np.ndarray,
                          neighbors: np.ndarray, resolution: float
                          ) -> tuple[np.ndarray, int]:
-    """Parallel supervoxel segmentation by seeded metric label propagation
-    — the from-scratch alternative to the reference-style energy fusion
-    (see pwicp_host.cpp pwicp_supervoxel_propagate and DESIGN.md).
+    """Supervoxel segmentation by seeded metric label propagation — the
+    framework's from-scratch parallel segmenter (see pwicp_host.cpp
+    pwicp_supervoxel_propagate and DESIGN.md §2.1); covers the role of the
+    reference's SupervoxelSegmentation (supervoxel_segmentation.h:66-248).
     Returns (labels [N] int32, count)."""
     pts = np.ascontiguousarray(points, dtype=np.float32)
     nrm = np.ascontiguousarray(normals, dtype=np.float32)

@@ -9,11 +9,11 @@
 //     (reference: cl::KDTree, codelibrary/util/tree/kd_tree.h)
 //   * grid-sample seed counting
 //     (reference: GridSample, codelibrary/geometry/point_cloud/grid_sample.h)
-//   * energy-minimising supervoxel segmentation: greedy fusion over a
-//     disjoint set with lambda doubling, followed by queue-based boundary
-//     refinement (reference: SupervoxelSegmentation,
-//     codelibrary/geometry/point_cloud/supervoxel_segmentation.h:66-248,
-//     with the VCCS metric of include/Segmentation.h:362-375)
+//   * supervoxel segmentation by seeded metric label propagation — a
+//     from-scratch parallel formulation covering the same role as the
+//     reference's sequential energy-fusion segmenter
+//     (supervoxel_segmentation.h:66-248), sharing only the VCCS metric
+//     formula (include/Segmentation.h:362-375) and GridSample seed count
 //
 // Exposed as a C ABI consumed through ctypes (the same binding style as the
 // reference's python/main.py DLL interface).
@@ -29,9 +29,6 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <deque>
-#include <numeric>
-#include <queue>
 #include <vector>
 
 namespace {
@@ -185,23 +182,6 @@ double auto_cell_size(const float* pts, int n) {
     for (int d = 0; d < 3; ++d) vol *= std::max(mx[d] - mn[d], 1e-9);
     return std::cbrt(vol * 4.0 / std::max(n, 1));
 }
-
-struct DisjointSet {
-    std::vector<int> parent;
-    explicit DisjointSet(int n) : parent(n) {
-        std::iota(parent.begin(), parent.end(), 0);
-    }
-    int find(int i) {
-        while (i != parent[i]) {
-            parent[i] = parent[parent[i]];
-            i = parent[i];
-        }
-        return i;
-    }
-    // merge root i into root j (reference DisjointSet::Link semantics,
-    // disjoint_set.h:75-80)
-    void link(int i, int j) { parent[i] = j; }
-};
 
 // VCCS metric (include/Segmentation.h:362-375):
 //   d = 1 - |n1 . n2| + ||p1 - p2|| / resolution * 0.4
@@ -362,172 +342,6 @@ int pwicp_grid_sample_count(const float* points, int n, double resolution) {
     }
     std::sort(cells.begin(), cells.end());
     return (int)(std::unique(cells.begin(), cells.end()) - cells.begin());
-}
-
-// Energy-minimising supervoxel segmentation.
-//
-// Semantics follow supervoxel_segmentation.h:66-248: start with every point
-// as its own supervoxel; grow regions greedily, merging neighbour j into
-// representative i whenever lambda > size_j * metric(i, j); double lambda
-// each round until the target count is reached; then refine boundaries by
-// re-assigning boundary points to the neighbouring representative with the
-// smallest metric distance; finally compact labels to [0, n_supervoxels).
-//
-// n_supervoxels <= 0 derives the target count from grid sampling at
-// `resolution`.  Returns the number of supervoxels, or -1 on error.
-int pwicp_supervoxel_segment(const float* points, const float* normals,
-                             const int32_t* neighbors, int n, int k,
-                             double resolution, int n_supervoxels,
-                             int32_t* out_labels) {
-    if (n <= 0 || k <= 0) return -1;
-    if (n_supervoxels <= 0)
-        n_supervoxels = pwicp_grid_sample_count(points, n, resolution);
-    if (n_supervoxels <= 0) return -1;
-
-    std::vector<Vec3> pts(n);
-    for (int i = 0; i < n; ++i)
-        pts[i] = {points[3 * i], points[3 * i + 1], points[3 * i + 2]};
-    VCCSMetric metric{pts.data(), normals, 0.4 / resolution};
-
-    auto nb = [&](int i, int j) { return neighbors[(int64_t)i * k + j]; };
-
-    // lambda init: median over points of the min metric distance to any
-    // neighbour (supervoxel_segmentation.h:105-113).
-    std::vector<double> dmin(n, DBL_MAX);
-    for (int i = 0; i < n; ++i) {
-        for (int j = 0; j < k; ++j) {
-            const int v = nb(i, j);
-            if (v >= 0 && v != i) dmin[i] = std::min(dmin[i], metric(i, v));
-        }
-    }
-    std::vector<double> med = dmin;
-    std::nth_element(med.begin(), med.begin() + n / 2, med.end());
-    double lambda = std::max(DBL_EPSILON, med[n / 2]);
-
-    // --- Step 1: greedy fusion with lambda doubling ---
-    DisjointSet set(n);
-    std::vector<int> reps(n);
-    std::iota(reps.begin(), reps.end(), 0);
-    std::vector<int> sizes(n, 1);
-    std::vector<std::vector<int>> adj(n);
-    for (int i = 0; i < n; ++i) {
-        adj[i].reserve(k);
-        for (int j = 0; j < k; ++j) {
-            const int v = nb(i, j);
-            if (v >= 0) adj[i].push_back(v);
-        }
-    }
-    std::vector<uint8_t> visited(n, 0);
-    std::vector<int> queue(n);
-    int count = n;
-
-    for (;; lambda *= 2.0) {
-        if ((int)reps.size() <= 1) break;
-        for (int i : reps) {
-            if (adj[i].empty()) continue;
-            visited[i] = 1;
-            int front = 0, back = 0;
-            queue[back++] = i;
-            ++front;  // representative itself is not merged into itself
-            for (int j : adj[i]) {
-                j = set.find(j);
-                if (!visited[j]) {
-                    visited[j] = 1;
-                    queue[back++] = j;
-                }
-            }
-            std::vector<int> kept;
-            bool done = false;
-            while (front < back) {
-                const int j = queue[front++];
-                const double improvement =
-                    lambda - sizes[j] * metric(i, j);
-                if (improvement > 0.0) {
-                    set.link(j, i);
-                    sizes[i] += sizes[j];
-                    for (int m : adj[j]) {
-                        m = set.find(m);
-                        if (!visited[m]) {
-                            visited[m] = 1;
-                            queue[back++] = m;
-                        }
-                    }
-                    adj[j].clear();
-                    adj[j].shrink_to_fit();
-                    if (--count == n_supervoxels) { done = true; break; }
-                } else {
-                    kept.push_back(j);
-                }
-            }
-            adj[i].swap(kept);
-            for (int q = 0; q < back; ++q) visited[queue[q]] = 0;
-            if (done) break;
-        }
-        int m = 0;
-        for (int i : reps)
-            if (set.find(i) == i) reps[m++] = i;
-        reps.resize(m);
-        count = m;
-        if (count <= n_supervoxels) break;
-    }
-
-    std::vector<int> labels(n);
-    for (int i = 0; i < n; ++i) labels[i] = set.find(i);
-
-    // --- Step 2: boundary refinement ---
-    std::vector<double> dist_to_rep(n);
-    for (int i = 0; i < n; ++i) dist_to_rep[i] = metric(i, labels[i]);
-
-    std::deque<int> bq;
-    std::vector<uint8_t> in_q(n, 0);
-    for (int i = 0; i < n; ++i) {
-        for (int j = 0; j < k; ++j) {
-            const int v = nb(i, j);
-            if (v < 0) continue;
-            if (labels[i] != labels[v]) {
-                if (!in_q[i]) { bq.push_back(i); in_q[i] = 1; }
-                if (!in_q[v]) { bq.push_back(v); in_q[v] = 1; }
-            }
-        }
-    }
-    while (!bq.empty()) {
-        const int i = bq.front();
-        bq.pop_front();
-        in_q[i] = 0;
-        bool changed = false;
-        for (int j = 0; j < k; ++j) {
-            const int v = nb(i, j);
-            if (v < 0) continue;
-            const int b = labels[v];
-            if (labels[i] == b) continue;
-            const double d = metric(i, b);
-            if (d < dist_to_rep[i]) {
-                labels[i] = b;
-                dist_to_rep[i] = d;
-                changed = true;
-            }
-        }
-        if (changed) {
-            for (int j = 0; j < k; ++j) {
-                const int v = nb(i, j);
-                if (v < 0) continue;
-                if (labels[i] != labels[v] && !in_q[v]) {
-                    bq.push_back(v);
-                    in_q[v] = 1;
-                }
-            }
-        }
-    }
-
-    // --- Step 3: compact labels by representative order ---
-    std::vector<int> remap(n, -1);
-    int next = 0;
-    for (int r : reps) remap[r] = next++;
-    for (int i = 0; i < n; ++i) {
-        const int r = labels[i];
-        out_labels[i] = (remap[r] >= 0) ? remap[r] : (remap[r] = next++);
-    }
-    return next;
 }
 
 // Mean distance to the k nearest non-self neighbours of every point — the

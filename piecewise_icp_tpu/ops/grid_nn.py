@@ -374,6 +374,11 @@ def grid_percentile(source: jnp.ndarray, grid: GridIndex, percentile: float,
     ``lax.cond``, so the steady-state cost is the grid pass alone.
 
     Index semantics match calArrayPercentileElement (CommonFunc.cpp:174-179).
+
+    The grid-vs-brute decision is made ON HOST from one scalar fetch — a
+    ``lax.cond`` would compile (and upload) the heavy brute kernel into
+    every caller even when it never runs (CLAUDE.md rule; the fused
+    iteration step makes the same host-side choice).
     """
     if s_mask is None:
         s_mask = jnp.ones((source.shape[0],), dtype=bool)
@@ -381,23 +386,33 @@ def grid_percentile(source: jnp.ndarray, grid: GridIndex, percentile: float,
     starts = jnp.asarray(grid.cell_starts)
     origin = jnp.asarray(grid.origin)
 
-    _, dist, resolved, strict = grid_query_1nn(
+    d_grid, use_grid = _grid_percentile_pass(
         source, s_mask, sorted_pts, starts, origin,
-        jnp.asarray(grid.dims, jnp.int32),
-        grid.max_run, jnp.asarray(grid.h, source.dtype))
+        jnp.asarray(grid.dims, jnp.int32), grid.max_run,
+        jnp.asarray(grid.h, source.dtype), percentile)
+    if bool(use_grid):
+        return d_grid
+    return _brute_percentile_pass(source, s_mask, sorted_pts, percentile)
+
+
+@functools.partial(jax.jit, static_argnames=("max_run", "percentile"))
+def _grid_percentile_pass(source, s_mask, sorted_pts, starts, origin,
+                          dims, max_run: int, h, percentile: float):
+    _, dist, resolved, strict = grid_query_1nn(
+        source, s_mask, sorted_pts, starts, origin, dims, max_run, h)
     n = jnp.sum(s_mask)
     idx = jnp.clip((n * percentile).astype(jnp.int32), 0,
                    source.shape[0] - 1)
     ok = resolved | (~s_mask)
     n_resolved = jnp.sum(ok & s_mask)
+    d = jnp.where(ok, dist, jnp.inf)
+    return jnp.sort(d)[idx], strict & (idx < n_resolved)
 
-    def from_grid(_):
-        d = jnp.where(ok, dist, jnp.inf)
-        return jnp.sort(d)[idx]
 
-    def from_brute(_):
-        _, d = brute_nn1(source, sorted_pts, q_mask=s_mask)
-        return jnp.sort(jnp.where(jnp.isfinite(d), d, jnp.inf))[idx]
-
-    return jax.lax.cond(strict & (idx < n_resolved), from_grid, from_brute,
-                        operand=None)
+@functools.partial(jax.jit, static_argnames=("percentile",))
+def _brute_percentile_pass(source, s_mask, sorted_pts, percentile: float):
+    n = jnp.sum(s_mask)
+    idx = jnp.clip((n * percentile).astype(jnp.int32), 0,
+                   source.shape[0] - 1)
+    _, d = brute_nn1(source, sorted_pts, q_mask=s_mask)
+    return jnp.sort(jnp.where(jnp.isfinite(d), d, jnp.inf))[idx]

@@ -55,8 +55,11 @@ class TestGridSample:
         assert native.grid_sample_count(g, 10.0) == 1
 
 
-class TestSupervoxel:
-    def _two_plane_cloud(self, rng, n_side=24):
+class TestSupervoxelPropagate:
+    """Seeded metric label propagation — the framework's segmenter."""
+
+    @staticmethod
+    def _two_plane_cloud(rng, n_side=24):
         """Two perpendicular planes meeting at an edge."""
         u = np.linspace(0, 1, n_side)
         g = np.stack(np.meshgrid(u, u), axis=-1).reshape(-1, 2)
@@ -72,8 +75,8 @@ class TestSupervoxel:
     def test_labels_valid_and_spatially_coherent(self, lib_ok, rng):
         pts, normals = self._two_plane_cloud(rng)
         nbr = native.knn_graph(pts, 10)
-        labels, nsv = native.supervoxel_segment(pts, normals, nbr,
-                                                resolution=0.3)
+        labels, nsv = native.supervoxel_propagate(pts, normals, nbr,
+                                                  resolution=0.3)
         n = pts.shape[0]
         assert labels.shape == (n,)
         assert labels.min() >= 0
@@ -87,62 +90,28 @@ class TestSupervoxel:
         frac_shared = len(l1 & l2) / max(len(l1 | l2), 1)
         assert frac_shared < 0.2
 
-    def test_target_count_respected(self, lib_ok, rng):
-        pts = rng.uniform(size=(400, 3)).astype(np.float32)
-        normals = np.tile([0.0, 0.0, 1.0], (400, 1)).astype(np.float32)
-        nbr = native.knn_graph(pts, 8)
-        labels, nsv = native.supervoxel_segment(pts, normals, nbr,
-                                                resolution=0.25,
-                                                n_supervoxels=10)
-        # fusion stops at (or near) the requested count
-        assert nsv <= 30
-        assert len(np.unique(labels)) == len(set(labels.tolist()))
+    def test_seed_count_matches_grid_sample(self, lib_ok, rng):
+        # seed-per-occupied-voxel => supervoxel count equals GridSample's K
+        # (grid_sample.h:49-75 semantics) when no component is orphaned
+        pts = rng.uniform(size=(2000, 2)).astype(np.float32)
+        z = (0.05 * pts[:, 0]
+             + rng.normal(scale=0.002, size=2000)).astype(np.float32)
+        cloud = np.column_stack([pts, z]).astype(np.float32)
+        nbr = native.knn_graph(cloud, 16)
+        normals = native.pca_normals(cloud, nbr)
+        labels, nsv = native.supervoxel_propagate(cloud, normals, nbr,
+                                                  resolution=0.15)
+        assert nsv == native.grid_sample_count(cloud, 0.15)
+        assert len(np.unique(labels)) == nsv
 
     def test_patch_sizes_reasonable(self, lib_ok, rng):
         pts, normals = self._two_plane_cloud(rng, n_side=30)
         nbr = native.knn_graph(pts, 10)
-        labels, nsv = native.supervoxel_segment(pts, normals, nbr,
-                                                resolution=0.25)
+        labels, nsv = native.supervoxel_propagate(pts, normals, nbr,
+                                                  resolution=0.25)
         counts = np.bincount(labels, minlength=nsv)
         # average patch should have a sensible number of members
         assert counts.mean() > 5
-
-
-class TestSupervoxelPropagate:
-    """Parallel label-propagation segmenter: same contract as fusion."""
-
-    def test_labels_valid_and_coherent(self, lib_ok, rng):
-        pts, normals = TestSupervoxel._two_plane_cloud(
-            TestSupervoxel(), rng)
-        nbr = native.knn_graph(pts, 10)
-        labels, nsv = native.supervoxel_propagate(pts, normals, nbr,
-                                                  resolution=0.3)
-        n = pts.shape[0]
-        assert labels.shape == (n,)
-        assert labels.min() >= 0 and labels.max() < nsv
-        assert 2 <= nsv < n
-        half = n // 2
-        l1 = set(labels[:half].tolist())
-        l2 = set(labels[half:].tolist())
-        assert len(l1 & l2) / max(len(l1 | l2), 1) < 0.2
-
-    def test_equivalent_statistics_to_fusion(self, lib_ok, rng):
-        pts = (rng.uniform(size=(6000, 2)) * 2.0).astype(np.float32)
-        z = (0.05 * pts[:, 0]
-             + rng.normal(scale=0.002, size=6000)).astype(np.float32)
-        cloud = np.column_stack([pts, z]).astype(np.float32)
-        nbr = native.knn_graph(cloud, 20)
-        normals = native.pca_normals(cloud, nbr)
-        lab_f, k_f = native.supervoxel_segment(cloud, normals, nbr,
-                                               resolution=0.12)
-        lab_p, k_p = native.supervoxel_propagate(cloud, normals, nbr,
-                                                 resolution=0.12)
-        # same GridSample-derived seed count, comparable size spectrum
-        assert k_p == k_f
-        c_f = np.bincount(lab_f, minlength=k_f)
-        c_p = np.bincount(lab_p, minlength=k_p)
-        assert abs(np.median(c_p) - np.median(c_f)) <= \
-            0.3 * max(np.median(c_f), 1)
 
     def test_deterministic(self, lib_ok, rng):
         pts = rng.uniform(size=(2000, 3)).astype(np.float32)
