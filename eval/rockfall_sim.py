@@ -116,7 +116,7 @@ def generate_rockfall(out_dir: str, n_epochs: int = 6, seed: int = 7,
     """
     from piecewise_icp_tpu.io import write_pcd
     from piecewise_icp_tpu.ops.transform import (apply_transform_np,
-                                                 small_angle_matrix)
+                                                 params_to_matrix)
 
     rng = np.random.default_rng(seed)
     scans = os.path.join(out_dir, "scans")
@@ -172,7 +172,7 @@ def generate_rockfall(out_dir: str, n_epochs: int = 6, seed: int = 7,
     # steps (~1.5 cm at range) + ~8 mm translation steps.
     gt = [np.eye(4)]
     for _ in range(1, n_epochs):
-        step = small_angle_matrix(np.concatenate([
+        step = params_to_matrix(np.concatenate([
             rng.normal(scale=6e-5, size=3),
             rng.normal(scale=8e-3, size=3)]))
         gt.append(gt[-1] @ step)

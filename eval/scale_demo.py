@@ -31,24 +31,30 @@ REF_SCAN = ("/root/reference/python/data/data_synthetic/"
 
 
 def generate_series(out_dir: str, n_epochs: int, seed: int = 0,
-                    noise: float = 1.5e-3) -> str:
+                    noise: float = 1.5e-3, downsample: float = 0.0,
+                    digits: int = 4) -> str:
     """Write Epoch_0001..N scans + defined_transformations.txt.
 
     Epoch k is the base scan moved by the inverse of the cumulative
     ground-truth transform G_k (so registration must recover G_k), with
     fresh per-epoch measurement noise so scans are not identical.
+    ``downsample`` > 0 voxel-thins the base scan first (lighter series for
+    CPU-backend fleet measurements).
     """
     from piecewise_icp_tpu.io import read_pcd, write_pcd
     from piecewise_icp_tpu.ops.transform import (apply_transform_np,
-                                                 small_angle_matrix)
+                                                 params_to_matrix)
 
     scans = os.path.join(out_dir, "scans")
     os.makedirs(scans, exist_ok=True)
     base = read_pcd(REF_SCAN)
+    if downsample > 0:
+        from piecewise_icp_tpu.ops.preprocess import voxel_downsample
+        base = np.asarray(voxel_downsample(base, downsample))
     rng = np.random.default_rng(seed)
     gt = [np.eye(4)]
     for _ in range(1, n_epochs):
-        step = small_angle_matrix(np.concatenate([
+        step = params_to_matrix(np.concatenate([
             rng.normal(scale=5e-4, size=3),     # ~30 mgon steps
             rng.normal(scale=4e-3, size=3)]))   # ~4 mm steps
         gt.append(gt[-1] @ step)
@@ -58,7 +64,8 @@ def generate_series(out_dir: str, n_epochs: int, seed: int = 0,
             np.float32)
         moved = apply_transform_np(pts.astype(np.float64),
                                    np.linalg.inv(gt[k])).astype(np.float32)
-        write_pcd(os.path.join(scans, f"Epoch_{k + 1:04d}.pcd"), moved)
+        write_pcd(os.path.join(scans, f"Epoch_{k + 1:0{digits}d}.pcd"),
+                  moved)
         lines.append(str(k + 1))
         for row in gt[k]:
             lines.append(" ".join(f"{v:.12f}" for v in row))

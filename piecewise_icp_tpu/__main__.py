@@ -46,8 +46,18 @@ def main(argv=None) -> int:
     p_4d.add_argument("--mesh-devices", type=int, default=0,
                       help="run each pairwise registration multi-chip over "
                            "an N-device mesh (0 = single device)")
+    for p in (p_pair, p_4d):
+        p.add_argument("--backend", default="auto",
+                       choices=["auto", "cpu"],
+                       help="force the CPU backend (fleet workers that must "
+                            "not touch the accelerator; the JAX_PLATFORMS "
+                            "env var is ignored by some TPU plugins)")
 
     args = ap.parse_args(argv)
+
+    if args.backend == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -195,8 +195,12 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
     Epoch-level data parallelism (new vs the strictly serial reference,
     SURVEY.md §2.4): every pairwise registration is independent given the
-    pair plan, so a fleet of hosts splits the pair list round-robin
-    (``shard_index``/``shard_count``) over a shared filesystem.  Each
+    pair plan, so a fleet of hosts splits the pair list into CONTIGUOUS
+    ranges (``shard_index``/``shard_count``) over a shared filesystem —
+    contiguous rather than round-robin so consecutive pairs inside one
+    shard share their epoch preparation (the source of pair k is the
+    target of pair k+1 in fixed-stride mode; round-robin re-segmented
+    every epoch on two shards, the round-2 2.3x imbalance).  Each
     finished pair is persisted as ``pairs/pair_NNNN.npz`` — the durable
     unit of work — so any shard (or a later ``resume=True`` run) can
     pick up where a crashed one stopped, and whichever invocation sees
@@ -230,6 +234,14 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
 
     # ---- per-pair registrations (Registration.cpp:89-187) ----
     mode_name = _mode_name(pair_mode)
+    n_pairs = max(epoch_num - 1 - start_epoch, 0)
+    chunk = -(-n_pairs // max(shard_count, 1))
+
+    def _owner(step: int) -> int:
+        """Contiguous-range pair assignment: shard s owns steps
+        [s*chunk+1, (s+1)*chunk]."""
+        return min((step - 1) // max(chunk, 1), shard_count - 1)
+
     epoch_states: Dict[int, object] = {}  # epoch idx -> TargetState
     ts_list: List[int] = []
     tm_list: List[Optional[np.ndarray]] = []
@@ -248,16 +260,15 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
         pair_npz = os.path.join(pairs_dir, f"pair_{step:04d}.npz")
 
         # resume / other-shard pairs come from the durable per-pair files
-        if os.path.exists(pair_npz) and (resume or
-                                         (step - 1) % shard_count
-                                         != shard_index):
+        if os.path.exists(pair_npz) and (resume
+                                         or _owner(step) != shard_index):
             d = np.load(pair_npz)
             tm_list.append(d["tm"])
             vcm_list.append(d["vcm"])
             if bool(d.get("failed", False)):
                 failed.append(step)
             continue
-        if (step - 1) % shard_count != shard_index:
+        if _owner(step) != shard_index:
             tm_list.append(None)
             vcm_list.append(None)
             missing.append(step)

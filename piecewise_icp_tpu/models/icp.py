@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.transform import small_angle_matrix_jax
+from ..ops.transform import params_to_matrix_jax
 
 
 def _masked_nn(q: jnp.ndarray, q_mask: jnp.ndarray,
@@ -116,7 +116,7 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         atl = psum(jnp.matmul(a.T, l, precision="highest"))
         # Tikhonov epsilon guards rank-deficient patch layouts
         x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=f32), atl)
-        t_delta = small_angle_matrix_jax(x)
+        t_delta = params_to_matrix_jax(x)
         new_src = jnp.matmul(src, t_delta[:3, :3].T,
                              precision="highest") + t_delta[:3, 3]
         new_src_n = jnp.matmul(src_n, t_delta[:3, :3].T,

@@ -24,7 +24,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.transform import matrix_to_angles, small_angle_matrix
+from ..ops.transform import matrix_to_angles, params_to_matrix
 
 
 @dataclasses.dataclass
@@ -108,6 +108,8 @@ def kalman_smooth_transforms(trans_mats: Sequence[np.ndarray],
         p_smooth[k] = (p_filt[k]
                        + c @ (p_smooth[k + 1] - p_pred[k + 1]) @ c.T)
 
-    mats = [small_angle_matrix(x) for x in x_smooth]
+    # exact SE(3) reconstruction: params_to_matrix inverts
+    # matrix_to_angles exactly at any angle magnitude (tests/test_ops.py)
+    mats = [params_to_matrix(x) for x in x_smooth]
     return SmoothedTrajectory(params=x_smooth, covariances=p_smooth,
                               filtered=x_filt, trans_mats=mats)

@@ -209,5 +209,12 @@ def piecewise_icp_pair_call(confile: str, outfile: str, mesh=None,
     write_pair_report(outfile, result, source_points=pts2)
     if cfg.visual:
         write_visualizations(outfile, result)
+        # the post-registration three-cloud view of the original clouds
+        # (Registration.cpp:335-337)
+        from ..utils import viz
+        reg = apply_transform_np(pts2.astype(np.float64),
+                                 result.trans_mat).astype(np.float32)
+        viz.export_three_clouds(str(outfile) + "ThreeClouds.pcd",
+                                pts1, pts2, reg)
     log.info("transformation results saved to %s", outfile)
     return True

@@ -81,6 +81,7 @@ class PairResult:
     patches1: "PatchSet | None" = None
     patches2: "PatchSet | None" = None
     stable_point_mask: "np.ndarray | None" = None  # over patches2.points
+    total_icp_iters: int = 0   # inner point-to-plane iterations, all outer
 
 
 @functools.partial(jax.jit,
@@ -406,6 +407,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     vcm = np.zeros((6, 6))
     stable_ratio = 0.0
     iteration = 0
+    total_icp_iters = 0
     max_outer = 100  # hard cap; the reference loop is unbounded
 
     while not to_stage3:
@@ -433,6 +435,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
          n_pt_stable) = stats[16:23]
         n_stable = int(n_stable)
         icp_iters = int(icp_iters)
+        total_icp_iters += icp_iters
         if n_stable < cfg.min_stable_patches:
             raise DegenerateGeometryError(
                 f"only {n_stable} stable patches left — not enough "
@@ -515,4 +518,5 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                       iterations=iteration, stable_ratio=stable_ratio,
                       num_patches=(p1, p2), patches1=patches1,
                       patches2=patches2,
-                      stable_point_mask=np.asarray(pt_stable_j)[:n2])
+                      stable_point_mask=np.asarray(pt_stable_j)[:n2],
+                      total_icp_iters=total_icp_iters)

@@ -231,29 +231,50 @@ def build_patches(points: np.ndarray, sv_resolution: float,
     n = pts.shape[0]
     k = min(cfg.knn_normals, max(n - 1, 1))
 
-    with gphase("seg.knn_graph"):
-        nbr = knn_graph(pts, k, impl=cfg.nn_impl
-                        if cfg.nn_impl != "pallas" else "auto",
-                        resolution=resolution)
-    with gphase("seg.normals"):
-        try:
-            from .. import native as _native
-            normals = _native.pca_normals(pts, nbr)
-        except Exception:  # pragma: no cover - fallback path
-            normals = estimate_normals(pts, nbr)
+    # Device segmentation is the default on TPU (the kNN graph + label
+    # propagation are the pipeline's largest phase and map directly onto
+    # the slab kernel / jitted arg-min rounds); the native host path is
+    # the CPU default and the explicit fallback.
+    use_device = (cfg.segmentation_impl == "jax"
+                  or (cfg.segmentation_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_device:
+        from .segmentation_device import segment_cloud_device
+        labels_raw, nsv = segment_cloud_device(
+            pts, sv_resolution, k,
+            resolution if resolution else sv_resolution / 10.0)
+    else:
+        with gphase("seg.knn_graph"):
+            nbr = knn_graph(pts, k, impl=cfg.nn_impl
+                            if cfg.nn_impl != "pallas" else "auto",
+                            resolution=resolution)
+        with gphase("seg.normals"):
+            try:
+                from .. import native as _native
+                normals = _native.pca_normals(pts, nbr)
+            except Exception:  # pragma: no cover - fallback path
+                normals = estimate_normals(pts, nbr)
 
-    from .. import native
-    with gphase("seg.supervoxel"):
-        labels_raw, nsv = native.supervoxel_propagate(
-            pts, normals, nbr, resolution=sv_resolution)
+        from .. import native
+        with gphase("seg.supervoxel"):
+            labels_raw, nsv = native.supervoxel_propagate(
+                pts, normals, nbr, resolution=sv_resolution)
     log.info("supervoxels generated: %d (cloud %d pts)", nsv, n)
 
     with gphase("seg.patch_stats"):
+        # bucket the patch count: num_patches is a static jit arg, and a
+        # campaign's epochs each produce a unique supervoxel count — padded
+        # slots have zero members, fail the size gate, and drop out below
+        from ..ops.grid_nn import _bucket
+        nsv_b = _bucket(max(nsv, 1), base=256)
         (valid, trim, ct, bp, nrm, std_bp, std_ct, cnt) = map(
             np.asarray,
-            _patch_statistics(jnp.asarray(pts), jnp.asarray(labels_raw), nsv,
+            _patch_statistics(jnp.asarray(pts), jnp.asarray(labels_raw),
+                              nsv_b,
                               cfg.min_patch_points, cfg.patch_trim_sigma,
                               cfg.max_variation, cfg.min_planarity))
+        valid, ct, bp, nrm, std_bp, std_ct, cnt = (
+            a[:nsv] for a in (valid, ct, bp, nrm, std_bp, std_ct, cnt))
 
     # compact valid patches, preserving raw order (Segmentation.cpp:107-150)
     keep = np.where(valid)[0]

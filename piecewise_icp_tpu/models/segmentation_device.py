@@ -1,0 +1,182 @@
+"""Device-side segmentation orchestration.
+
+The reference's dominant segmentation cost is the per-point kNN-45 graph +
+supervoxel clustering (Segmentation.cpp:30-68), which the round-2 build ran
+on host C++/OpenMP — ~3.2 s of a 4.7 s pair on a 2-core host while the TPU
+idled.  This module drives the fused Pallas kernels of ``ops/seg_pallas``
+(per-point k-th-distance threshold + covariance → normals; gather-free
+seeded label propagation under the VCCS metric — the device twin of the
+native ``pwicp_supervoxel_propagate``) plus the small host pieces:
+deterministic seed selection (one per occupied voxel at the supervoxel
+resolution, the point nearest the voxel centre — same GridSample-derived
+count K as the reference, grid_sample.h:49-75) and first-occurrence label
+compaction.
+
+Everything runs in the grid's CELL-SORTED point order (one permutation at
+the end restores original order), and every array shape is bucketed, so a
+whole campaign reuses one compiled program per size bucket.
+
+``knn_graph_device`` (the explicit [N, k] graph via the three-range-slab
+top-k kernel, stragglers recomputed by the brute streaming kernel) remains
+available for consumers that need real neighbour lists; the segmentation
+path itself never materialises the graph.
+"""
+
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.eigh3 import eigvals3, smallest_eigvec3
+from ..ops.grid_nn import GridIndex, build_grid, _bucket
+from ..utils.logging import log
+
+_MAX_ROUNDS = 256           # propagation round cap (matches the host twin)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_device(grid: GridIndex, k: int):
+    """Exact kNN self-join over the gridded cloud (device).
+
+    Returns (nbr [Np, k] int32 into SORTED order, -1 padded;
+    dist [Np, k] f32) for the bucket-padded sorted array — rows beyond
+    ``grid.n_real`` are padding (-1 / inf).  Stragglers are recomputed
+    exactly by the brute streaming top-k kernel.
+    """
+    from ..ops.nn import knn as brute_knn
+    from ..ops.nn_pallas import grid_knn_sorted
+
+    sorted_pts = jnp.asarray(grid.points)
+    n = grid.n_real
+    q_mask = jnp.arange(sorted_pts.shape[0]) < n
+    idx, d, resolved = grid_knn_sorted(
+        sorted_pts, q_mask, sorted_pts, jnp.asarray(grid.cell_starts),
+        jnp.asarray(grid.origin), jnp.asarray(grid.dims, jnp.int32),
+        jnp.asarray(grid.h, jnp.float32), k)
+
+    n_bad = int(jnp.sum(~resolved[:n]))
+    if n_bad > 0:
+        # exact brute top-k for the stragglers (padded to a bucket so the
+        # kernel compiles once per bucket, not once per straggler count)
+        bad = np.where(np.asarray(~resolved[:n]))[0]
+        log.info("device kNN stragglers: %d / %d (brute fallback)",
+                 n_bad, n)
+        pad = _bucket(len(bad), base=512) - len(bad)
+        bad_p = np.concatenate([bad, np.full(pad, bad[0], np.int64)])
+        sub_q = sorted_pts[jnp.asarray(bad_p)]
+        bi, bd = brute_knn(sub_q, sorted_pts, k)
+        idx = idx.at[jnp.asarray(bad_p)].set(bi)
+        d = d.at[jnp.asarray(bad_p)].set(bd)
+
+    # padded-target hits (distance inf / id -1) are masked out
+    nbr = jnp.where((idx >= 0) & (idx < n) & jnp.isfinite(d), idx, -1)
+    return nbr, d
+
+
+# ---------------------------------------------------------------------------
+# PCA normals (device twin of native.pca_normals / Segmentation.cpp:42-44)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def normals_from_graph(points: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    safe = jnp.clip(nbr, 0, points.shape[0] - 1)
+    p = points[safe]                             # [N, k, 3]
+    valid = (nbr >= 0)
+    m = valid.astype(points.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(points.dtype)
+    mean = jnp.sum(p * m, axis=1) / cnt[:, None]
+    c = (p - mean[:, None, :]) * m
+    cov = jnp.einsum("nki,nkj->nij", c, c,
+                     precision="highest") / cnt[:, None, None]
+    vals = eigvals3(cov)
+    return smallest_eigvec3(cov, vals[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# Seeds: one per occupied voxel at the supervoxel resolution (host, cheap)
+# ---------------------------------------------------------------------------
+
+
+def propagate_seeds(points: np.ndarray, resolution: float) -> np.ndarray:
+    """Deterministic seed indices: per occupied voxel, the point nearest
+    the voxel centre.  Same voxelisation as GridSample (grid_sample.h:49-75:
+    dims = int(extent/res)+1, coordinates clamped), so the seed count is
+    the reference's expected supervoxel count K."""
+    pts = np.asarray(points, dtype=np.float64)
+    mn = pts.min(axis=0)
+    dims = ((pts.max(axis=0) - mn) / resolution).astype(np.int64) + 1
+    cell = np.clip((pts - mn) / resolution, 0,
+                   (dims - 1).astype(np.float64)).astype(np.int64)
+    lin = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    ctr = mn + (cell + 0.5) * resolution
+    d2c = ((pts - ctr) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(pts)), d2c, lin))
+    lin_sorted = lin[order]
+    first = np.ones(len(pts), dtype=bool)
+    first[1:] = lin_sorted[1:] != lin_sorted[:-1]
+    return np.sort(order[first]).astype(np.int32)
+
+
+def segment_cloud_device(points: np.ndarray, sv_resolution: float,
+                         k: int, resolution: float):
+    """Full device segmentation of one cloud via the fused slab kernels
+    (ops/seg_pallas) — no [N, k] graph is ever materialised and no gather
+    runs on the device.
+
+    Returns (labels_raw [N] int32 in ORIGINAL point order, compacted to
+    first-occurrence order like the host twin; n_supervoxels).
+    """
+    from ..ops.seg_pallas import propagate_rounds, seg_stats
+    from ..utils.logging import gphase
+
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    k = min(k, max(n, 1))
+    # h ~ the expected k-NN radius on a surface (r_k ~ sqrt(k/pi) spacing);
+    # neighbourhoods are radius-capped at the 27-cell window (see
+    # ops/seg_pallas module docstring for the exactness contract)
+    h = float(max(1.2 * np.sqrt(k / np.pi), 3.0) * resolution)
+    with gphase("seg.knn_graph"):
+        grid = build_grid(pts, h)
+        sorted_pts = jnp.asarray(grid.points)
+        q_mask = jnp.arange(sorted_pts.shape[0]) < n
+        starts = jnp.asarray(grid.cell_starts)
+        origin = jnp.asarray(grid.origin)
+        dims = jnp.asarray(grid.dims, jnp.int32)
+        t2, cnt, normals, covered = seg_stats(
+            sorted_pts, q_mask, starts, origin, dims, h, k)
+        jax.block_until_ready(t2)
+    with gphase("seg.supervoxel"):
+        seeds = propagate_seeds(grid.points[:n], sv_resolution)
+        lab_sorted, rounds = propagate_rounds(
+            sorted_pts, normals, t2, q_mask, jnp.asarray(seeds),
+            starts, origin, dims, h, sv_resolution,
+            max_rounds=_MAX_ROUNDS)
+        jax.block_until_ready(lab_sorted)
+
+    # back to original order + first-occurrence compaction (host, O(N))
+    lab_sorted = np.asarray(lab_sorted)[:n]
+    labels = np.empty(n, dtype=np.int32)
+    labels[grid.ids[:n]] = lab_sorted
+    valid = labels >= 0
+    uniq, first_idx = np.unique(labels[valid], return_index=True)
+    pos_orig = np.flatnonzero(valid)[first_idx]
+    remap = np.full(len(seeds), -1, dtype=np.int32)
+    remap[uniq[np.argsort(pos_orig)]] = np.arange(len(uniq),
+                                                  dtype=np.int32)
+    nxt = len(uniq)
+    out = np.where(valid, remap[np.clip(labels, 0, len(seeds) - 1)], -1)
+    # isolated points (no labelled neighbour in their graph component) each
+    # become their own singleton label, like the host twin
+    iso = np.flatnonzero(~valid)
+    if iso.size:
+        out[iso] = nxt + np.arange(iso.size, dtype=np.int32)
+        nxt += int(iso.size)
+    return out.astype(np.int32), int(nxt)

@@ -302,3 +302,216 @@ def grid_range_query(queries: jnp.ndarray, q_mask: jnp.ndarray,
     # strict: every tile covered -> "unresolved => true distance > h" holds
     # for every query (the order-statistic exactness precondition)
     return idx, d, resolved, jnp.all(covered)
+
+
+# ---------------------------------------------------------------------------
+# Grid k-NN over cell-sorted queries: three-range slabs + min-extraction.
+#
+# The keystone of DEVICE-side segmentation (the reference's dominant cost is
+# the kNN-45 graph + per-point normals, Segmentation.cpp:30-46).  Queries
+# are the cell-sorted target points themselves (a self-join) or any query
+# set pre-sorted by target cell id.  Geometry: with x-major/z-fastest cell
+# ordering, a query's 27-cell window spans THREE x-slabs; the one-contiguous
+# -slab trick of grid_range_query must cover all three, over-fetching ~25x
+# (measured: whole-tile union ~5600 points vs ~200 true candidates).  Here
+# each tile instead DMAs THREE short ranges — the tile's y/z-window inside
+# each of the three x-slabs — which keeps the slab at 3*_SEG lanes while
+# covering the exact 27-cell window of every query in the tile.
+#
+# Top-k: distances for all slab candidates are materialised in VMEM once,
+# then the k nearest are peeled off by k min-extraction passes (running
+# cross-lane min + first-occurrence arg + mask).  Pure VPU work, no sort,
+# no gather; k is static (the framework uses k=45, CommonFunc.h:41).
+# ---------------------------------------------------------------------------
+
+_KQT = 128      # k-NN query tile (sublanes)
+_SEG = 1024     # lanes per x-slab range; slab = 3 segments
+
+
+def _knn3_kernel(rng_ref, qx, qy, qz, tx, ty, tz,
+                 out_i, out_d2, sx, sy, sz, gid, d2b, sems, *, k: int):
+    # rng_ref [n_tiles * 9] FLAT: (lo_aligned[3], lo[3], hi[3]) per tile —
+    # one packed 1-D prefetch operand (2-D scalar operands get lane-padded
+    # to 128 in SMEM, which alone overflows the 1 MB budget)
+    i = pl.program_id(0)
+
+    copies = []
+    for r in range(3):
+        lo = pl.multiple_of(rng_ref[9 * i + r], 128)
+        for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
+            dma = pltpu.make_async_copy(
+                src.at[0, pl.ds(lo, _SEG)],
+                dst.at[0, pl.ds(r * _SEG, _SEG)], sems.at[3 * r + c])
+            dma.start()
+            copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    # global candidate ids + validity per lane (ranges are disjoint after
+    # the caller's monotone clamp, so no candidate appears twice)
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
+    for r in range(3):
+        base = pl.multiple_of(rng_ref[9 * i + r], 128)
+        gidx = base + local
+        valid = ((gidx >= rng_ref[9 * i + 3 + r])
+                 & (gidx < rng_ref[9 * i + 6 + r]))
+        gid[:, pl.ds(r * _SEG, _SEG)] = jnp.where(valid, gidx, _IMAX)
+
+    # distances of the whole tile against the whole slab, masked lanes BIG
+    bad = gid[:] == _IMAX
+    dx = qx[:] - sx[:]
+    dy = qy[:] - sy[:]
+    dz = qz[:] - sz[:]
+    d2b[:] = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+
+    # k min-extraction passes (static unroll: every column write is static)
+    for j in range(k):
+        best = jnp.min(d2b[:], axis=1, keepdims=True)
+        cand = jnp.where(d2b[:] == best, gid[:], _IMAX)
+        arg = jnp.min(cand, axis=1, keepdims=True)
+        out_d2[:, j:j + 1] = best
+        out_i[:, j:j + 1] = arg
+        d2b[:] = jnp.where(gid[:] == arg, _BIG, d2b[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
+    """q [Qp, 3] (Qp % KQT == 0), ranges [n_tiles * 9] int32 flat-packed
+    as (lo_aligned[3], lo[3], hi[3]) per tile with lo_aligned 128-aligned
+    and clamped to [0, Tp - SEG], t_rows [3, Tp]."""
+    qp = q.shape[0]
+    n_tiles = qp // _KQT
+    cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
+    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    t_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec((_KQT, k), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[q_spec] * 3 + [t_spec] * 3,
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # x slab
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # y slab
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # z slab
+            pltpu.VMEM((1, 3 * _SEG), jnp.int32),     # global ids per lane
+            pltpu.VMEM((_KQT, 3 * _SEG), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    out_i, out_d2 = pl.pallas_call(
+        functools.partial(_knn3_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((qp, k), jnp.int32),
+                   jax.ShapeDtypeStruct((qp, k), jnp.float32)),
+        interpret=interpret,
+    )(ranges, *cols_q, *rows_t)
+    return out_i, out_d2
+
+
+def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
+                 sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
+                 origin: jnp.ndarray, dims: jnp.ndarray, h):
+    """Per-tile three-range slab geometry for cell-sorted queries.
+
+    For every _KQT-query tile, the 27-cell windows of its queries lie in
+    three short contiguous ranges of the cell-sorted target array (one per
+    x-slab).  Returns (qp padded queries [Qp, 3], ranges [n_tiles * 9]
+    flat-packed (lo_aligned[3], lo[3], hi[3]), t_rows [3, Tp] padded
+    coordinate rows, covered [n_tiles]).  Shared prelude of the k-NN and
+    fused-segmentation kernels.
+    """
+    qn = queries.shape[0]
+    dx, dy, dz = dims[0], dims[1], dims[2]
+    n_cells = jnp.minimum(dx * dy * dz, cell_starts.shape[0] - 1)
+
+    cell = jnp.floor((queries - origin) / h).astype(jnp.int32)
+    cx = jnp.clip(cell[:, 0], 0, dx - 1)
+    cy = jnp.clip(cell[:, 1], 0, dy - 1)
+    cz = jnp.clip(cell[:, 2], 0, dz - 1)
+    y0 = jnp.clip(cy - 1, 0, dy - 1)
+    y1 = jnp.clip(cy + 1, 0, dy - 1)
+    z0 = jnp.clip(cz - 1, 0, dz - 1)
+    z1 = jnp.clip(cz + 1, 0, dz - 1)
+
+    los, his = [], []
+    for r in (-1, 0, 1):
+        x = jnp.clip(cx + r, 0, dx - 1)
+        lo_col = (x * dy + y0) * dz + z0
+        hi_col = (x * dy + y1) * dz + z1
+        lo_q = cell_starts[jnp.clip(lo_col, 0, n_cells)]
+        hi_q = cell_starts[jnp.clip(hi_col + 1, 0, n_cells)]
+        # masked queries contribute degenerate ranges
+        los.append(jnp.where(q_mask, lo_q, 2**30))
+        his.append(jnp.where(q_mask, hi_q, 0))
+
+    qpad = (-qn) % _KQT
+    qp = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
+    n_tiles = qp.shape[0] // _KQT
+    lo_t, hi_t = [], []
+    for r in range(3):
+        lo_r = jnp.pad(los[r], (0, qpad), constant_values=2**30)
+        hi_r = jnp.pad(his[r], (0, qpad))
+        lo_t.append(jnp.min(lo_r.reshape(n_tiles, _KQT), axis=1))
+        hi_t.append(jnp.max(hi_r.reshape(n_tiles, _KQT), axis=1))
+    lo_t = jnp.stack(lo_t, axis=1)            # [T, 3]
+    hi_t = jnp.stack(hi_t, axis=1)
+    hi_t = jnp.maximum(hi_t, lo_t)
+    # monotone clamp: x-clipping at the cloud edge can collapse adjacent
+    # ranges onto the same x-slab; forcing lo_r >= hi_{r-1} makes the three
+    # ranges disjoint so no candidate is counted twice
+    l0, l1, l2 = lo_t[:, 0], lo_t[:, 1], lo_t[:, 2]
+    h0, h1, h2 = hi_t[:, 0], hi_t[:, 1], hi_t[:, 2]
+    l1 = jnp.maximum(l1, h0)
+    h1 = jnp.maximum(h1, l1)
+    l2 = jnp.maximum(l2, h1)
+    h2 = jnp.maximum(h2, l2)
+    lo_t = jnp.stack([l0, l1, l2], axis=1)
+    hi_t = jnp.stack([h0, h1, h2], axis=1)
+
+    tn = sorted_pts.shape[0]
+    tpad = (-tn) % 128 + _SEG        # slack so lo_al + SEG never overruns
+    t_rows = jnp.pad(sorted_pts.astype(jnp.float32).T,
+                     ((0, 0), (0, tpad)), constant_values=_BIG)
+    tp = t_rows.shape[1]
+
+    lo_al = jnp.clip((lo_t // 128) * 128, 0, tp - _SEG).astype(jnp.int32)
+    covered = jnp.all(hi_t - lo_al <= _SEG, axis=1)
+
+    ranges = jnp.concatenate([lo_al, lo_t.astype(jnp.int32),
+                              hi_t.astype(jnp.int32)], axis=1).reshape(-1)
+    return qp, ranges, t_rows, covered
+
+
+def grid_knn_sorted(queries: jnp.ndarray, q_mask: jnp.ndarray,
+                    sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
+                    origin: jnp.ndarray, dims: jnp.ndarray, h, k: int,
+                    interpret: bool | None = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k-NN of cell-sorted ``queries`` in the cell-sorted targets.
+
+    Queries MUST be sorted by target cell id (for a self-join they are the
+    sorted target array itself) — that is what keeps each tile's three
+    ranges short.  Returns (idx [Q, k] into the SORTED target order,
+    dist [Q, k] ascending, resolved [Q]).  ``resolved`` queries carry their
+    EXACT k nearest (the k-th distance is <= h, so nothing outside the
+    27-cell window can beat it); unresolved queries (k-th neighbour beyond
+    the window, or an uncovered tile) must be recomputed by the caller.
+    Traceable (jit-safe).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    qn = queries.shape[0]
+    tn = sorted_pts.shape[0]
+    qp, ranges, t_rows, covered = tile_ranges3(
+        queries, q_mask, sorted_pts, cell_starts, origin, dims, h)
+    idx, d2 = _knn3_padded(qp, ranges, t_rows, k, interpret=interpret)
+    idx = idx[:qn]
+    d = jnp.sqrt(jnp.maximum(d2[:qn], 0.0))
+    cov_q = jnp.repeat(covered, _KQT)[:qn]
+    kth_ok = jnp.isfinite(d[:, -1]) & (d[:, -1] <= h)
+    resolved = (~q_mask) | (cov_q & kth_ok)
+    idx = jnp.where(idx == _IMAX, -1, jnp.minimum(idx, max(tn - 1, 0)))
+    d = jnp.where(q_mask[:, None], d, jnp.inf)
+    return idx, d, resolved

@@ -1,0 +1,398 @@
+"""Fused Pallas segmentation kernels — the gather-free device segmenter.
+
+Measured on the real chip (round-3 probe), the gather-formulated device
+segmentation was memory-system-bound: a [N,45] label gather costs ~170 ms
+per propagation round and the [N,45,3] neighbour gather ~200 ms — XLA
+gathers do not ride the fast path for these shapes.  These kernels remove
+EVERY gather from the segmentation phase by exploiting the cell-sorted
+point order: all data a query tile needs lives in three short contiguous
+ranges (one per x-slab of its 27-cell window, see nn_pallas.tile_ranges3),
+which one DMA per range brings into VMEM.  The explicit [N, k] kNN graph
+never materialises.
+
+* ``seg_stats`` — per point: the distance threshold t_q of its k-th
+  nearest neighbour (3-round, 8-bin histogram refinement of d²; exact to
+  h²/512 resolution), neighbour count, and the QUERY-CENTRED first/second
+  moments of the neighbours within t_q.  Normals follow by a batched
+  closed-form eigensolve — the device equivalent of the reference's
+  kNN-45 PCA normals (Segmentation.cpp:30-46) with "exactly 45" relaxed
+  to "the ~45 within the histogram bin edge" (the neighbour set feeds
+  only the covariance and the VCCS metric, where a tie-edge neighbour
+  more or less carries no signal).
+
+* ``propagate_rounds`` — seeded metric label propagation (DESIGN.md §2.1)
+  with the per-point state (seed position, seed normal, label) carried in
+  an [8, N] row array: each round, every point adopts the state row of
+  the in-range candidate whose SEED is closest under the VCCS metric
+  (1 − |n_i·n_s| + 0.4‖p_i − p_s‖/res).  The winner's state row is copied
+  wholesale — label propagation without a single gather.  A second mode
+  (``adopt``) runs the orphan sweep: unlabelled points take the
+  Euclidean-nearest labelled candidate, like the host twin
+  (pwicp_supervoxel_propagate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nn_pallas import _KQT, _SEG, _BIG, _IMAX, _on_tpu, tile_ranges3
+
+_NBINS = 8
+_NROUNDS = 3
+_STATS = 16          # output lanes per query (11 used, padded to 16)
+
+
+def _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems, extra=()):
+    """Start+wait the three-range coordinate (and optional extra-array)
+    DMAs for tile ``i``.  ``extra``: (src [R, Tp], dst [R, 3*SEG], base
+    semaphore index) triples with R sublane-aligned."""
+    copies = []
+    for r in range(3):
+        lo = pl.multiple_of(rng_ref[9 * i + r], 128)
+        for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
+            dma = pltpu.make_async_copy(
+                src.at[0, pl.ds(lo, _SEG)],
+                dst.at[0, pl.ds(r * _SEG, _SEG)], sems.at[3 * r + c])
+            dma.start()
+            copies.append(dma)
+        for src, dst, base in extra:
+            dma = pltpu.make_async_copy(
+                src.at[:, pl.ds(lo, _SEG)],
+                dst.at[:, pl.ds(r * _SEG, _SEG)], sems.at[base + r])
+            dma.start()
+            copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+
+def _valid_lanes(rng_ref, i, gid):
+    """Fill ``gid`` [1, 3*SEG] with global candidate ids (IMAX on lanes
+    outside the tile's exact ranges; ranges are disjoint so no candidate
+    appears twice)."""
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
+    for r in range(3):
+        base = pl.multiple_of(rng_ref[9 * i + r], 128)
+        gidx = base + local
+        valid = ((gidx >= rng_ref[9 * i + 3 + r])
+                 & (gidx < rng_ref[9 * i + 6 + r]))
+        gid[:, pl.ds(r * _SEG, _SEG)] = jnp.where(valid, gidx, _IMAX)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: k-th-distance threshold + centred covariance sums
+# ---------------------------------------------------------------------------
+
+
+def _seg_stats_kernel(rng_ref, qx, qy, qz, tx, ty, tz, out,
+                      sx, sy, sz, gid, sems, *, k: int, h2: float):
+    i = pl.program_id(0)
+    _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems)
+    _valid_lanes(rng_ref, i, gid)
+
+    bad = gid[:] == _IMAX
+    dx = qx[:] - sx[:]
+    dy = qy[:] - sy[:]
+    dz = qz[:] - sz[:]
+    d2 = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+
+    # histogram refinement of the k-th distance: 3 rounds x 8 bins over
+    # [lo, hi], starting at [0, h^2].  After each round the bin containing
+    # rank k becomes the new interval; final resolution h^2/512.
+    lo = jnp.zeros((_KQT, 1), jnp.float32)
+    hi = jnp.full((_KQT, 1), h2, jnp.float32)
+    kf = jnp.float32(k)
+    for _ in range(_NROUNDS):
+        step = (hi - lo) / _NBINS
+        edges = [lo + step * b for b in range(1, _NBINS + 1)]
+        cums = [jnp.sum((d2 <= e).astype(jnp.float32), axis=1,
+                        keepdims=True) for e in edges]
+        new_lo, new_hi = lo, hi
+        found = jnp.zeros((_KQT, 1), dtype=jnp.bool_)
+        prev_edge = lo
+        for b in range(_NBINS):
+            hit = (~found) & (cums[b] >= kf)
+            new_lo = jnp.where(hit, prev_edge, new_lo)
+            new_hi = jnp.where(hit, edges[b], new_hi)
+            found = found | hit
+            prev_edge = edges[b]
+        # fewer than k candidates in the window: keep [lo, hi] == take all
+        lo = jnp.where(found, new_lo, lo)
+        hi = jnp.where(found, new_hi, hi)
+
+    t2 = hi
+    m = (d2 <= t2) & (~bad)
+    mf = m.astype(jnp.float32)
+    cnt = jnp.sum(mf, axis=1, keepdims=True)
+
+    def s(v):
+        return jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
+
+    out[:, 0:1] = cnt
+    out[:, 1:2] = t2
+    out[:, 2:3] = s(-dx)        # sum of (x_j - qx), dx was qx - x_j
+    out[:, 3:4] = s(-dy)
+    out[:, 4:5] = s(-dz)
+    out[:, 5:6] = s(dx * dx)
+    out[:, 6:7] = s(dy * dy)
+    out[:, 7:8] = s(dz * dz)
+    out[:, 8:9] = s(dx * dy)
+    out[:, 9:10] = s(dx * dz)
+    out[:, 10:11] = s(dy * dz)
+    out[:, 11:] = jnp.zeros((_KQT, _STATS - 11), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "h2", "interpret"))
+def _seg_stats_padded(q, ranges, t_rows, k: int, h2: float,
+                      interpret: bool = False):
+    qp = q.shape[0]
+    n_tiles = qp // _KQT
+    cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
+    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    t_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec((_KQT, _STATS), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[q_spec] * 3 + [t_spec] * 3,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.int32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_seg_stats_kernel, k=k, h2=h2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qp, _STATS), jnp.float32),
+        interpret=interpret,
+    )(ranges, *cols_q, *rows_t)
+
+
+def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
+              cell_starts: jnp.ndarray, origin: jnp.ndarray,
+              dims: jnp.ndarray, h: float, k: int,
+              interpret: bool | None = None):
+    """Per-point neighbourhood statistics of the cell-sorted self-join.
+
+    Returns (t2 [Q] — squared adjacency radius of the ~k nearest within
+    the 27-cell window; count [Q]; normals [Q, 3] — smallest eigenvector
+    of the neighbourhood covariance; covered [Q]).
+    """
+    from .eigh3 import eigvals3, smallest_eigvec3
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    qn = sorted_pts.shape[0]
+    qp, ranges, t_rows, covered = tile_ranges3(
+        sorted_pts, q_mask, sorted_pts, cell_starts, origin, dims, h)
+    stats = _seg_stats_padded(qp, ranges, t_rows, k, float(h) * float(h),
+                              interpret=interpret)[:qn]
+    cnt = jnp.maximum(stats[:, 0], 1.0)
+    mean = stats[:, 2:5] / cnt[:, None]           # query-centred mean
+    # cov = E[dd^T] - mean mean^T (d = neighbour - query; query-centred
+    # sums keep f32 exact at metre scale)
+    xx = stats[:, 5] / cnt - mean[:, 0] * mean[:, 0]
+    yy = stats[:, 6] / cnt - mean[:, 1] * mean[:, 1]
+    zz = stats[:, 7] / cnt - mean[:, 2] * mean[:, 2]
+    xy = stats[:, 8] / cnt - mean[:, 0] * mean[:, 1]
+    xz = stats[:, 9] / cnt - mean[:, 0] * mean[:, 2]
+    yz = stats[:, 10] / cnt - mean[:, 1] * mean[:, 2]
+    cov = jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+    vals = eigvals3(cov)
+    normals = smallest_eigvec3(cov, vals[..., 2])
+    cov_q = jnp.repeat(covered, _KQT)[:qn]
+    return stats[:, 1], stats[:, 0], normals, cov_q
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: one propagation round (state-slab, gather-free)
+# ---------------------------------------------------------------------------
+
+
+def _prop_round_kernel(rng_ref, qx, qy, qz, nx, ny, nz, r2, lab_own,
+                       tx, ty, tz, state,
+                       o_spx, o_spy, o_spz, o_snx, o_sny, o_snz, o_lab,
+                       o_chg,
+                       sx, sy, sz, sstate, gid, sems,
+                       *, inv_res_04: float, adopt: bool):
+    i = pl.program_id(0)
+    _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems,
+              extra=((state, sstate, 9),))
+    _valid_lanes(rng_ref, i, gid)
+
+    bad = gid[:] == _IMAX
+    dxc = qx[:] - sx[:]
+    dyc = qy[:] - sy[:]
+    dzc = qz[:] - sz[:]
+    d2c = dxc * dxc + dyc * dyc + dzc * dzc      # to the CANDIDATE point
+
+    lab_c = sstate[6:7, :]                        # candidate's label (f32)
+    labelled = lab_c >= 0.0
+    mask = (~bad) & labelled & (d2c <= r2[:])
+
+    if adopt:
+        m = jnp.sqrt(d2c)
+    else:
+        dxs = qx[:] - sstate[0:1, :]              # to the candidate's SEED
+        dys = qy[:] - sstate[1:2, :]
+        dzs = qz[:] - sstate[2:3, :]
+        ds = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
+        dot = (nx[:] * sstate[3:4, :] + ny[:] * sstate[4:5, :]
+               + nz[:] * sstate[5:6, :])
+        m = 1.0 - jnp.abs(dot) + ds * inv_res_04
+    m = jnp.where(mask, m, _BIG)
+
+    best = jnp.min(m, axis=1, keepdims=True)
+    # tie-break toward the smaller label; all lanes carrying that label
+    # share identical seed fields, so a masked min extracts them exactly
+    lab_best = jnp.min(jnp.where(m == best, lab_c, _BIG), axis=1,
+                       keepdims=True)
+    sel = (m == best) & (lab_c == lab_best)
+
+    def pick(row):
+        return jnp.min(jnp.where(sel, row, _BIG), axis=1, keepdims=True)
+
+    has = best < _BIG
+    if adopt:
+        upd = has & (lab_own[:] < 0.0)
+    else:
+        upd = has
+    o_spx[:] = jnp.where(upd, pick(sstate[0:1, :]), 0.0)
+    o_spy[:] = jnp.where(upd, pick(sstate[1:2, :]), 0.0)
+    o_spz[:] = jnp.where(upd, pick(sstate[2:3, :]), 0.0)
+    o_snx[:] = jnp.where(upd, pick(sstate[3:4, :]), 0.0)
+    o_sny[:] = jnp.where(upd, pick(sstate[4:5, :]), 0.0)
+    o_snz[:] = jnp.where(upd, pick(sstate[5:6, :]), 0.0)
+    new_lab = jnp.where(upd, lab_best, lab_own[:])
+    o_lab[:] = new_lab
+    o_chg[:] = (new_lab != lab_own[:]).astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("inv_res_04", "adopt", "interpret"))
+def _prop_round(qcols, ncols, r2, state_rows, ranges, t_rows,
+                inv_res_04: float, adopt: bool, interpret: bool = False):
+    """One propagation round.  ``state_rows`` [8, Np] (seed xyz, seed
+    normal xyz, label, pad); returns (new state_rows, changed count)."""
+    np_ = state_rows.shape[1]
+    qp = qcols[0].shape[0]
+    n_tiles = qp // _KQT
+    lab_own = state_rows[6, :qp].reshape(-1, 1)
+    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    t_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[q_spec] * 8 + [t_spec] * 4,
+        out_specs=(out_spec,) * 8,
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((8, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((1, 3 * _SEG), jnp.int32),
+            pltpu.SemaphoreType.DMA((12,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_prop_round_kernel, inv_res_04=inv_res_04,
+                          adopt=adopt),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((qp, 1), jnp.float32)
+                        for _ in range(8)),
+        interpret=interpret,
+    )(ranges, *qcols, *ncols, r2, lab_own, *rows_t, state_rows)
+    (spx, spy, spz, snx, sny, snz, lab, chg) = outs
+    new_rows = jnp.concatenate(
+        [spx, spy, spz, snx, sny, snz, lab,
+         jnp.zeros((qp, 1), jnp.float32)], axis=1).T
+    if np_ > qp:
+        new_rows = jnp.pad(new_rows, ((0, 0), (0, np_ - qp)),
+                           constant_values=-1.0)
+    changed = jnp.sum(chg)
+    return new_rows, changed
+
+
+def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
+                     r2: jnp.ndarray, q_mask: jnp.ndarray,
+                     seed_idx: jnp.ndarray,
+                     cell_starts: jnp.ndarray, origin: jnp.ndarray,
+                     dims: jnp.ndarray, h: float, sv_resolution: float,
+                     max_rounds: int = 256,
+                     interpret: bool | None = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run seeded metric label propagation to convergence, then the orphan
+    sweep.  Returns (labels [Q] int32 in SORTED order, rounds)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    qn = sorted_pts.shape[0]
+    qp, ranges, t_rows, _ = tile_ranges3(
+        sorted_pts, q_mask, sorted_pts, cell_starts, origin, dims, h)
+    qcols = [qp[:, c].reshape(-1, 1) for c in range(3)]
+    npad = qp.shape[0] - qn
+    nrm = jnp.pad(normals.astype(jnp.float32), ((0, npad), (0, 0)))
+    ncols = [nrm[:, c].reshape(-1, 1) for c in range(3)]
+    r2p = jnp.pad(r2.astype(jnp.float32), (0, npad)).reshape(-1, 1)
+
+    tp = t_rows.shape[1]
+    state = jnp.full((8, tp), -1.0, jnp.float32)
+    s_pts = sorted_pts[seed_idx]
+    s_nrm = normals[seed_idx]
+    state = state.at[0:3, seed_idx].set(s_pts.T.astype(jnp.float32))
+    state = state.at[3:6, seed_idx].set(s_nrm.T.astype(jnp.float32))
+    state = state.at[6, seed_idx].set(
+        jnp.arange(seed_idx.shape[0], dtype=jnp.float32))
+
+    labels, rounds = _propagate_all(
+        tuple(qcols), tuple(ncols), r2p, state, ranges, t_rows,
+        float(0.4 / sv_resolution), max_rounds, interpret)
+    labels = labels[:qn]
+    return jnp.where(q_mask[:qn], labels, -1), rounds
+
+
+@functools.partial(jax.jit, static_argnames=("inv", "max_rounds",
+                                             "interpret"))
+def _propagate_all(qcols, ncols, r2p, state, ranges, t_rows,
+                   inv: float, max_rounds: int, interpret: bool):
+    def cond(carry):
+        _, chg, it = carry
+        return (chg > 0) & (it < max_rounds)
+
+    def body(carry):
+        st, _, it = carry
+        st2, chg = _prop_round(qcols, ncols, r2p, st, ranges, t_rows,
+                               inv, False, interpret)
+        return st2, chg, it + 1
+
+    state, _, rounds = jax.lax.while_loop(
+        cond, body, (state, jnp.asarray(1.0), jnp.asarray(0, jnp.int32)))
+
+    def body_a(carry):
+        st, _, it = carry
+        st2, chg = _prop_round(qcols, ncols, r2p, st, ranges, t_rows,
+                               inv, True, interpret)
+        return st2, chg, it + 1
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body_a, (state, jnp.asarray(1.0), jnp.asarray(0, jnp.int32)))
+
+    labels = state[6, :]
+    labels = jnp.where(jnp.isfinite(labels) & (labels >= 0),
+                       labels, -1.0).astype(jnp.int32)
+    return labels, rounds

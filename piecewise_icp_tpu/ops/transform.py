@@ -64,11 +64,13 @@ def translation_matrix(shift: np.ndarray) -> np.ndarray:
     return m
 
 
-def small_angle_matrix(x: np.ndarray) -> np.ndarray:
-    """Exact SE(3) matrix from small-angle params (rx, ry, rz, tx, ty, tz).
+def params_to_matrix(x: np.ndarray) -> np.ndarray:
+    """Exact SE(3) matrix from parameters (rx, ry, rz [rad], tx, ty, tz).
 
-    Builds R = Rz(rz) @ Ry(ry) @ Rx(rx), the x-y-z convention inverted by
-    :func:`matrix_to_angles`.
+    Builds R = Rz(rz) @ Ry(ry) @ Rx(rx) — the exact inverse of
+    :func:`matrix_to_angles` (x-y-z Euler convention of
+    CommonFunc.cpp:385-407) at ANY angle magnitude, not a small-angle
+    approximation (round-trip proven in tests/test_ops.py).
     """
     rx, ry, rz, tx, ty, tz = [float(v) for v in np.asarray(x).ravel()]
     cx, sx = math.cos(rx), math.sin(rx)
@@ -119,8 +121,8 @@ def apply_transform(points: jnp.ndarray, trans_mat: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(points, m[:3, :3].T, precision="highest") + m[:3, 3]
 
 
-def small_angle_matrix_jax(x: jnp.ndarray) -> jnp.ndarray:
-    """Jittable exact SE(3) matrix from (rx, ry, rz, tx, ty, tz)."""
+def params_to_matrix_jax(x: jnp.ndarray) -> jnp.ndarray:
+    """Jittable twin of :func:`params_to_matrix`."""
     rx, ry, rz = x[0], x[1], x[2]
     cx, sx = jnp.cos(rx), jnp.sin(rx)
     cy, sy = jnp.cos(ry), jnp.sin(ry)

@@ -78,3 +78,18 @@ def export_cloud_pair(path: str | pathlib.Path, target: np.ndarray,
                      np.tile(np.array([255, 0, 0], np.uint8),
                              (len(source), 1))])
     _write_rgb_pcd(path, pts, rgb)
+
+
+def export_three_clouds(path: str | pathlib.Path, target: np.ndarray,
+                        source: np.ndarray,
+                        registered: np.ndarray) -> None:
+    """Target red, source green, registered source blue — the post-
+    registration three-cloud view (visualizeThreePC, CommonFunc.cpp:474-493,
+    with the color scheme of its call sites Registration.cpp:336-337,
+    :487-488)."""
+    pts = np.vstack([target, source, registered]).astype(np.float32)
+    rgb = np.vstack([
+        np.tile(np.array([255, 0, 0], np.uint8), (len(target), 1)),
+        np.tile(np.array([0, 255, 0], np.uint8), (len(source), 1)),
+        np.tile(np.array([0, 0, 255], np.uint8), (len(registered), 1))])
+    _write_rgb_pcd(path, pts, rgb)

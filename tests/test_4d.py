@@ -11,7 +11,7 @@ from piecewise_icp_tpu.config import PiecewiseICPConfig
 from piecewise_icp_tpu.io import formats, write_pcd
 from piecewise_icp_tpu.models.four_d import run_4d
 from piecewise_icp_tpu.ops.transform import apply_transform_np, \
-    small_angle_matrix
+    params_to_matrix
 
 from util import small_test_config, terrain_cloud
 
@@ -27,7 +27,7 @@ def _make_series(tmp_path, rng, n_epochs=4):
     data_dir.mkdir()
     gt = [np.eye(4)]
     for k in range(1, n_epochs):
-        step = small_angle_matrix(np.concatenate([
+        step = params_to_matrix(np.concatenate([
             rng.normal(scale=8e-4, size=3), rng.normal(scale=3e-3, size=3)]))
         gt.append(gt[-1] @ step)
     for k in range(n_epochs):
@@ -103,16 +103,18 @@ class Test4DPipeline:
                                 path2=str(out_dir) + os.sep)
         gt_file = str(tmp_path / "defined_transformations.txt")
 
-        # shard 0/2 runs pairs 1 and 3; cannot finalise (pair 2 missing)
+        # contiguous ranges: shard 0/2 owns pairs 1-2 (source of pair k is
+        # target of pair k+1, so in-shard epoch prep is reused); cannot
+        # finalise (pair 3 missing)
         ok0 = run_4d(cfg, 0, n_epochs, 0, ground_truth=gt_file,
                      shard_index=0, shard_count=2)
         assert ok0
         assert (out_dir / "pairs" / "pair_0001.npz").exists()
-        assert (out_dir / "pairs" / "pair_0003.npz").exists()
-        assert not (out_dir / "pairs" / "pair_0002.npz").exists()
+        assert (out_dir / "pairs" / "pair_0002.npz").exists()
+        assert not (out_dir / "pairs" / "pair_0003.npz").exists()
         assert not (out_dir / "TransMatrices_toRef.txt").exists()
 
-        # shard 1/2 runs pair 2, sees the full set, finalises
+        # shard 1/2 runs pair 3, sees the full set, finalises
         ok1 = run_4d(cfg, 0, n_epochs, 0, ground_truth=gt_file,
                      shard_index=1, shard_count=2)
         assert ok1

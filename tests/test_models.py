@@ -16,7 +16,7 @@ from piecewise_icp_tpu.models.segmentation import build_patches, \
 from piecewise_icp_tpu.ops.transform import (adjoint_6x6,
                                              apply_transform_np,
                                              matrix_to_params_gon,
-                                             small_angle_matrix)
+                                             params_to_matrix)
 
 from util import make_pair, small_test_config, terrain_cloud
 
@@ -87,7 +87,7 @@ class TestInnerICP:
     def test_recovers_small_transform(self, rng):
         ct, nrm = self._centroid_scene(rng)
         params = np.array([0.004, -0.003, 0.006, 0.01, -0.02, 0.015])
-        t_true = small_angle_matrix(params)
+        t_true = params_to_matrix(params)
         src = apply_transform_np(ct.astype(np.float64),
                                  np.linalg.inv(t_true)).astype(np.float32)
         mask = np.ones(len(ct), dtype=bool)
@@ -182,7 +182,7 @@ class TestPiecewiseICPCore:
 
 class TestChaining:
     def _random_se3(self, rng, scale=1e-3):
-        return small_angle_matrix(np.concatenate([
+        return params_to_matrix(np.concatenate([
             rng.normal(scale=scale, size=3), rng.normal(scale=scale, size=3)]))
 
     def test_direct_mode_copies(self, rng):
@@ -219,7 +219,7 @@ class TestChaining:
         np.testing.assert_allclose(out_t[1], tms[0] @ tms[1], atol=1e-12)
 
     def test_absolute_errors_units(self, rng):
-        t_est = small_angle_matrix([0, 0, 0, 0.001, 0, 0])
+        t_est = params_to_matrix([0, 0, 0, 0.001, 0, 0])
         t_ref = np.eye(4)
         err = absolute_errors([t_est], [t_ref])
         assert err[0, 3] == pytest.approx(1.0)  # 1 mm
@@ -234,7 +234,7 @@ class TestKalman:
         mats, vcms = [], []
         for k in range(n):
             noisy = true_params[k] + rng.normal(scale=meas_noise, size=6)
-            mats.append(small_angle_matrix(noisy))
+            mats.append(params_to_matrix(noisy))
             vcms.append(np.eye(6) * meas_noise ** 2)
         sm = kalman_smooth_transforms(mats, vcms, process_noise=1e-10)
         raw_err = np.abs(np.stack(
@@ -249,16 +249,83 @@ class TestKalman:
     def test_empty_and_single(self):
         sm = kalman_smooth_transforms([], [])
         assert sm.params.shape == (0, 6)
-        m = small_angle_matrix([1e-4, 0, 0, 1e-3, 0, 0])
+        m = params_to_matrix([1e-4, 0, 0, 1e-3, 0, 0])
         sm = kalman_smooth_transforms([m], [np.eye(6) * 1e-8])
         np.testing.assert_allclose(sm.trans_mats[0], m, atol=1e-9)
+
+    def test_matches_dense_map_solution(self, rng):
+        """The RTS recursion must equal the closed-form MAP solution of the
+        linear-Gaussian model — means AND covariances.  Any sign/transpose
+        error in the gain or smoother recursion fails this exactly."""
+        n, q_diag = 12, 1e-8
+        z = np.cumsum(rng.normal(scale=2e-4, size=(n, 6)), axis=0) * 1e-2
+        mats = [params_to_matrix(p) for p in z]
+        vcms = []
+        for _ in range(n):
+            a = rng.normal(scale=1e-4, size=(6, 6))
+            vcms.append(a @ a.T + np.eye(6) * 1e-8)
+        sm = kalman_smooth_transforms(mats, vcms, process_noise=q_diag)
+
+        # dense MAP: prior x0 ~ N(z0, R0 + Q) (the filter's init), walk
+        # increments ~ N(0, Q), measurements z_k ~ N(x_k, R_k)
+        q = np.eye(6) * q_diag
+        qi = np.linalg.inv(q)
+        big_j = np.zeros((6 * n, 6 * n))
+        big_b = np.zeros(6 * n)
+        p0i = np.linalg.inv(vcms[0] + q)
+        big_j[:6, :6] += p0i
+        big_b[:6] += p0i @ z[0]
+        for k in range(n):
+            ri = np.linalg.inv(vcms[k])
+            sl = slice(6 * k, 6 * k + 6)
+            big_j[sl, sl] += ri
+            big_b[6 * k:6 * k + 6] += ri @ z[k]
+        for k in range(1, n):
+            a_sl = slice(6 * (k - 1), 6 * k)
+            b_sl = slice(6 * k, 6 * (k + 1))
+            big_j[a_sl, a_sl] += qi
+            big_j[b_sl, b_sl] += qi
+            big_j[a_sl, b_sl] -= qi
+            big_j[b_sl, a_sl] -= qi
+        x_map = np.linalg.solve(big_j, big_b).reshape(n, 6)
+        cov = np.linalg.inv(big_j)
+        np.testing.assert_allclose(sm.params, x_map, rtol=1e-7, atol=1e-12)
+        for k in range(n):
+            np.testing.assert_allclose(
+                sm.covariances[k], cov[6 * k:6 * k + 6, 6 * k:6 * k + 6],
+                rtol=1e-6, atol=1e-15)
+
+    def test_white_noise_regime_recovers_theoretical_gain(self, rng):
+        """Regime the VCMs actually describe (white measurement noise drawn
+        from R, true motion a Q-random-walk): the smoother's empirical MSE
+        must match its own predicted covariance — a wrong gain inflates
+        the MSE far beyond the prediction."""
+        n, trials = 40, 15
+        q_true = 1e-8
+        r_diag = 4e-7
+        ratios = []
+        for _ in range(trials):
+            truth = np.cumsum(rng.normal(scale=np.sqrt(q_true),
+                                         size=(n, 6)), axis=0)
+            meas = truth + rng.normal(scale=np.sqrt(r_diag), size=(n, 6))
+            mats = [params_to_matrix(p) for p in meas]
+            vcms = [np.eye(6) * r_diag] * n
+            sm = kalman_smooth_transforms(mats, vcms, process_noise=q_true)
+            err2 = (sm.params - truth) ** 2
+            pred = np.stack([np.diag(c) for c in sm.covariances])
+            ratios.append(err2.mean() / pred.mean())
+            # and it must genuinely beat the raw measurements: steady-state
+            # smoothed variance ~ sqrt(Q R) << R here
+            assert err2.mean() < ((meas - truth) ** 2).mean() * 0.5
+        ratio = float(np.mean(ratios))
+        assert 0.6 < ratio < 1.6, f"MSE/predicted-variance ratio {ratio:.2f}"
 
 
 class TestChainingFixedStride:
     def test_stride_two(self, rng):
         from piecewise_icp_tpu.models.chaining import chain_to_reference
 
-        tms = [small_angle_matrix(np.concatenate([
+        tms = [params_to_matrix(np.concatenate([
             rng.normal(scale=1e-3, size=3),
             rng.normal(scale=1e-3, size=3)])) for _ in range(5)]
         vcms = [np.eye(6) * (k + 1) * 1e-9 for k in range(5)]

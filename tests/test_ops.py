@@ -21,11 +21,25 @@ class TestTransform:
         for _ in range(20):
             x = np.concatenate([rng.normal(scale=0.3, size=3),
                                 rng.normal(scale=2.0, size=3)])
-            m = tf.small_angle_matrix(x)
+            m = tf.params_to_matrix(x)
             ang = tf.matrix_to_angles(m)
             np.testing.assert_allclose(ang, x[:3], atol=1e-12)
             p = tf.matrix_to_params_gon(m)
             np.testing.assert_allclose(p[3:], x[3:], atol=1e-12)
+
+    def test_angles_roundtrip_large_angles(self, rng):
+        # params_to_matrix is the EXACT inverse of matrix_to_angles at any
+        # magnitude (it is not a small-angle approximation) — the property
+        # the Kalman smoother's matrix reconstruction relies on
+        for _ in range(50):
+            x = np.concatenate([rng.uniform(-1.4, 1.4, size=3),
+                                rng.normal(scale=10.0, size=3)])
+            m = tf.params_to_matrix(x)
+            np.testing.assert_allclose(tf.matrix_to_angles(m), x[:3],
+                                       atol=1e-11)
+            # and the matrix is a proper rotation
+            R = m[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
 
     def test_gimbal_lock_branch(self):
         # ry = -pi/2 makes m20 = 1 exactly
@@ -40,7 +54,7 @@ class TestTransform:
     def test_adjoint_structure(self, rng):
         x = np.concatenate([rng.normal(scale=0.1, size=3),
                             rng.normal(scale=1.0, size=3)])
-        m = tf.small_angle_matrix(x)
+        m = tf.params_to_matrix(x)
         ad = tf.adjoint_6x6(m)
         R = m[:3, :3]
         np.testing.assert_allclose(ad[:3, :3], R)
@@ -50,19 +64,19 @@ class TestTransform:
 
     def test_apply_matches_numpy(self, rng):
         pts = rng.normal(size=(50, 3)).astype(np.float32)
-        m = tf.small_angle_matrix([0.01, -0.02, 0.03, 0.5, -0.1, 0.2])
+        m = tf.params_to_matrix([0.01, -0.02, 0.03, 0.5, -0.1, 0.2])
         a = tf.apply_transform_np(pts, m)
         b = np.asarray(tf.apply_transform(jnp.asarray(pts), jnp.asarray(m)))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
-    def test_jax_small_angle_matches_host(self):
+    def test_jax_params_to_matrix_matches_host(self):
         x = np.array([0.02, -0.01, 0.05, 1.0, 2.0, -3.0])
-        a = tf.small_angle_matrix(x)
-        b = np.asarray(tf.small_angle_matrix_jax(jnp.asarray(x, jnp.float64)))
+        a = tf.params_to_matrix(x)
+        b = np.asarray(tf.params_to_matrix_jax(jnp.asarray(x, jnp.float64)))
         np.testing.assert_allclose(a, b, atol=1e-7)
 
     def test_bb_corner_change(self):
-        m = tf.small_angle_matrix([0, 0, 0, 1.0, 0, 0])
+        m = tf.params_to_matrix([0, 0, 0, 1.0, 0, 0])
         bb_min = jnp.array([0.0, 0.0, 0.0])
         bb_max = jnp.array([1.0, 1.0, 1.0])
         chg = tf.bounding_box_corner_change(bb_min, bb_max, jnp.asarray(m))

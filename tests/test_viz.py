@@ -39,3 +39,18 @@ class TestVizExports:
         viz.export_cloud_pair(p, t, s)
         back = read_pcd(p)
         assert back.shape == (80, 3)
+
+
+def test_three_clouds_export(tmp_path, rng):
+    from piecewise_icp_tpu.io import read_pcd
+    from piecewise_icp_tpu.utils import viz
+
+    t = rng.normal(size=(40, 3)).astype(np.float32)
+    s = rng.normal(size=(30, 3)).astype(np.float32)
+    r = s + 0.01
+    p = tmp_path / "three.pcd"
+    viz.export_three_clouds(p, t, s, r)
+    pts = read_pcd(str(p))
+    assert pts.shape == (100, 3)
+    np.testing.assert_allclose(pts[:40], t, atol=1e-6)
+    np.testing.assert_allclose(pts[70:], r, atol=1e-6)

@@ -3,7 +3,7 @@
 import numpy as np
 
 from piecewise_icp_tpu.ops.transform import apply_transform_np, \
-    small_angle_matrix
+    params_to_matrix
 
 
 def terrain_cloud(rng, n_side=90, extent=2.0, noise=3e-4):
@@ -38,7 +38,7 @@ def make_pair(rng, params, **kw):
     scan of the same surface."""
     c1 = terrain_cloud(rng, **kw)
     c2 = terrain_cloud(rng, **kw)
-    t_true = small_angle_matrix(np.asarray(params, dtype=np.float64))
+    t_true = params_to_matrix(np.asarray(params, dtype=np.float64))
     c2 = apply_transform_np(c2.astype(np.float64), t_true).astype(np.float32)
     return c1, c2, t_true
 
