@@ -168,15 +168,33 @@ def main() -> int:
     g_h = jnp.asarray(grid.h, jnp.float32)
     qmask = jnp.ones((n,), bool)
 
-    from piecewise_icp_tpu.ops.nn_pallas import _QT, _RMAX
+    from piecewise_icp_tpu.ops.nn_pallas import (_KQT, _QT, _RMAX, _SEG,
+                                                 grid_range_query)
     n_tiles = -(-n // _QT)
     grid_bytes = n_tiles * _RMAX * 12.0          # 3 f32 rows per slab
     grid_ops = 8.0 * n * _RMAX
     sol_grid_ms = 1e3 * max(grid_bytes / HBM_BPS, grid_ops / VPU_OPS)
+    # three-range kernel: 3*_SEG candidate lanes per _KQT-query tile
+    g3_tiles = -(-n // _KQT)
+    g3_bytes = g3_tiles * 3 * _SEG * 12.0
+    g3_ops = 8.0 * n * 3 * _SEG
+    sol_grid3_ms = 1e3 * max(g3_bytes / HBM_BPS, g3_ops / VPU_OPS)
+
+    # production query order: cell-sorted (the pipeline keeps the source
+    # cloud in target-grid cell order; see piecewise_icp._cell_order)
+    cell = np.floor((down.astype(np.float64) - grid.origin)
+                    / grid.h).astype(np.int64)
+    gdx, gdy, gdz = grid.dims
+    lin = ((np.clip(cell[:, 0], 0, gdx - 1) * gdy
+            + np.clip(cell[:, 1], 0, gdy - 1)) * gdz
+           + np.clip(cell[:, 2], 0, gdz - 1))
+    dj_sorted = jnp.asarray(down[np.argsort(lin, kind="stable")])
 
     # jit the full call chains so eager per-op dispatch (slow over the
     # device tunnel) does not pollute the kernel timings
     f_pallas_brute = jax.jit(lambda q: nn1_pallas(q, q)[1])
+    f_grid_slab1 = jax.jit(lambda q: grid_range_query(
+        q, qmask, *g_args, g_h)[1])
     f_grid_pallas = jax.jit(lambda q: grid_query_1nn(
         q, qmask, *g_args, grid.max_run, g_h)[1])
     f_grid_prod = jax.jit(lambda q: grid_nn1(q, grid, exact=True)[1])
@@ -185,24 +203,27 @@ def main() -> int:
     t_pallas_brute = t_kernel(lambda: f_pallas_brute(dj))
     t_grid_xla = t_kernel(lambda: _grid_query(
         dj, qmask, *g_args, grid.max_run, g_h)[1])
-    t_grid_pallas = t_kernel(lambda: f_grid_pallas(dj))
-    t_grid_prod = t_kernel(lambda: f_grid_prod(dj))
+    t_grid_slab1 = t_kernel(lambda: f_grid_slab1(dj))
+    t_grid_pallas = t_kernel(lambda: f_grid_pallas(dj_sorted))
+    t_grid_prod = t_kernel(lambda: f_grid_prod(dj_sorted))
 
     nn_bench = {
         "n_points": n,
         "xla_brute_ms": round(1e3 * t_xla_brute, 1),
         "pallas_brute_ms": round(1e3 * t_pallas_brute, 1),
         "grid_xla_gather_ms": round(1e3 * t_grid_xla, 1),
-        "grid_pallas_slab_ms": round(1e3 * t_grid_pallas, 2),
+        "grid_pallas_slab_ms": round(1e3 * t_grid_slab1, 2),
+        "grid_pallas_ranges3_ms": round(1e3 * t_grid_pallas, 2),
         "grid_production_exact_ms": round(1e3 * t_grid_prod, 2),
         "roofline": {
             "model": "v5e 1-core: VPU 3.9e12 f32op/s, HBM 819 GB/s",
             "brute_sol_ms": round(sol_brute_ms, 1),
             "brute_pallas_pct_of_sol": round(
                 100 * sol_brute_ms / (1e3 * t_pallas_brute), 1),
-            "grid_sol_ms": round(sol_grid_ms, 2),
+            "grid_slab1_sol_ms": round(sol_grid_ms, 2),
+            "grid_ranges3_sol_ms": round(sol_grid3_ms, 2),
             "grid_pallas_pct_of_sol": round(
-                100 * sol_grid_ms / (1e3 * t_grid_pallas), 1),
+                100 * sol_grid3_ms / (1e3 * t_grid_pallas), 1),
         },
     }
 

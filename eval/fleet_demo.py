@@ -28,7 +28,8 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 WORKDIR = "/tmp/pwicp_fleet"
 
@@ -52,10 +53,13 @@ def run_fleet(conf: str, out_dir: str, epochs: int, mode: int,
     cmd = [sys.executable, "-m", "piecewise_icp_tpu", "4d",
            "--config", conf, "--epochs", str(epochs), "--mode", str(mode),
            "--backend", "cpu", "--shards", str(workers), "--no-finalize"]
+    logs = [open(os.path.join(WORKDIR, f"worker_{workers}w_{i}.log"), "w")
+            for i in range(workers)]
     t0 = time.perf_counter()
-    procs = [subprocess.Popen(cmd + ["--shard", str(i)], env=env,
-                              stdout=subprocess.DEVNULL,
-                              stderr=subprocess.STDOUT)
+    # cwd=ROOT: `python -m piecewise_icp_tpu` only resolves from the repo
+    # root (the package is not pip-installed)
+    procs = [subprocess.Popen(cmd + ["--shard", str(i)], env=env, cwd=ROOT,
+                              stdout=logs[i], stderr=subprocess.STDOUT)
              for i in range(workers)]
     per_worker = []
     for p in procs:
@@ -63,15 +67,20 @@ def run_fleet(conf: str, out_dir: str, epochs: int, mode: int,
         per_worker.append(round(time.perf_counter() - t0, 1))
     pairs_wall = time.perf_counter() - t0
     rcs = [p.returncode for p in procs]
+    for f in logs:
+        f.close()
+    if any(rcs):
+        raise RuntimeError(
+            f"fleet worker failed (rcs={rcs}); see {WORKDIR}/worker_*.log")
 
     # finalise: chaining + Kalman + accuracy from the durable npz grain
+    fin_cmd = [a for a in cmd if a != "--no-finalize"]
     t0 = time.perf_counter()
-    fin = subprocess.run(cmd + ["--shard", "0", "--resume"],
-                         env=env, capture_output=True, text=True)
+    fin = subprocess.run(fin_cmd + ["--shard", "0", "--resume"],
+                         env=env, cwd=ROOT, capture_output=True, text=True)
     finalize_wall = time.perf_counter() - t0
-    # --no-finalize is still in cmd; drop it for the finalise pass
-    if "--no-finalize" in fin.args:
-        pass
+    if fin.returncode:
+        raise RuntimeError(f"finalise failed: {fin.stdout[-2000:]}")
     return {"workers": workers, "pairs_wall_s": round(pairs_wall, 1),
             "per_worker_done_s": per_worker,
             "finalize_wall_s": round(finalize_wall, 1),
@@ -114,10 +123,13 @@ def main() -> int:
     warm_cfg = PiecewiseICPConfig(**{**cfg.__dict__, "path2": warm_out})
     warm_conf = os.path.join(WORKDIR, "conf_warm.txt")
     warm_cfg.to_reference_file(warm_conf)
-    subprocess.run([sys.executable, "-m", "piecewise_icp_tpu", "4d",
-                    "--config", warm_conf, "--epochs", "2", "--mode",
-                    str(args.mode), "--backend", "cpu"],
-                   env=_worker_env(), capture_output=True)
+    warm = subprocess.run([sys.executable, "-m", "piecewise_icp_tpu", "4d",
+                           "--config", warm_conf, "--epochs", "2", "--mode",
+                           str(args.mode), "--backend", "cpu"],
+                          env=_worker_env(), cwd=ROOT, capture_output=True,
+                          text=True)
+    if warm.returncode:
+        raise RuntimeError(f"warm-up failed: {warm.stdout[-2000:]}")
 
     report = {"epochs": args.epochs, "mode": args.mode,
               "series_points_per_epoch": "~40k (voxel 12 mm)",

@@ -68,6 +68,20 @@ def _mask(n: int, multiple: int) -> np.ndarray:
     return m
 
 
+def _cell_order(points: np.ndarray, grid) -> np.ndarray:
+    """Permutation sorting ``points`` by the linearised cell id of the
+    given target :class:`GridIndex` (x-major, z fastest — the order
+    ``build_grid`` sorts the targets themselves).  Stable, so re-sorting
+    an already coherent cloud is a near-identity permutation."""
+    cell = np.floor((np.asarray(points, np.float64) - grid.origin)
+                    / grid.h).astype(np.int64)
+    dx, dy, dz = grid.dims
+    cx = np.clip(cell[:, 0], 0, dx - 1)
+    cy = np.clip(cell[:, 1], 0, dy - 1)
+    cz = np.clip(cell[:, 2], 0, dz - 1)
+    return np.argsort((cx * dy + cy) * dz + cz, kind="stable")
+
+
 @dataclasses.dataclass
 class PairResult:
     """Outcome of one pairwise Piecewise-ICP registration."""
@@ -366,9 +380,16 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     bp2 = repl(_pad(patches2.boundary.reshape(-1, 3), 6 * pm))
     std_bp2 = repl(_pad(patches2.std_bp, pm))
     ct2_mask = repl(_mask(p2, pm))
-    cloud2_j = shard(_pad(patches2.points, cm))
+    # keep the mutable source cloud in TARGET-grid cell order: the stage-1
+    # percentile's three-range slab kernel (ops/nn_pallas.grid_range_query3)
+    # needs spatially coherent query tiles, and nothing else cares about
+    # point order inside the loop (the percentile sorts distances, the AABB
+    # is order-free, masks ride along) — one O(N) host permutation here, one
+    # inverse permutation on the returned stable mask below
+    c2_perm = _cell_order(patches2.points, cloud1_grid)
+    cloud2_j = shard(_pad(patches2.points[c2_perm], cm))
     cloud2_mask = shard(_mask(patches2.points.shape[0], cm))
-    labels2 = _pad(patches2.labels, cm, value=-1)
+    labels2 = _pad(patches2.labels[c2_perm], cm, value=-1)
     labels2_j = shard(labels2)
 
     dt_min = float(cfg.dt_min)
@@ -514,9 +535,13 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             break
 
     n2 = patches2.points.shape[0]
+    # the loop ran in cell-sorted order; hand the mask back in ORIGINAL
+    # point order (sorted position i holds original index c2_perm[i])
+    stable_mask = np.empty(n2, dtype=bool)
+    stable_mask[c2_perm] = np.asarray(pt_stable_j)[:n2]
     return PairResult(trans_mat=trans_mat, vcm=vcm, dt_series=dt_series,
                       iterations=iteration, stable_ratio=stable_ratio,
                       num_patches=(p1, p2), patches1=patches1,
                       patches2=patches2,
-                      stable_point_mask=np.asarray(pt_stable_j)[:n2],
+                      stable_point_mask=stable_mask,
                       total_icp_iters=total_icp_iters)

@@ -145,22 +145,27 @@ def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,
     """Backend-dispatched grid 1-NN: (idx into sorted targets, dist,
     resolved [Q], strict []).
 
-    On TPU this runs the Pallas contiguous-slab kernel
-    (ops/nn_pallas.grid_range_query) — one dense DMA per query tile
-    instead of the [Q, 9*max_run] gather, which made the XLA formulation
-    gather-bound (BENCH_r01: 519.7 ms vs 128.4 ms brute at 142k points).
-    Elsewhere (CPU tests) it keeps the XLA gather formulation.  Both paths
-    guarantee: resolved queries carry their EXACT nearest distance <= h.
-    ``strict`` is True iff additionally every unresolved query's true
-    distance exceeds h (always true for the XLA path; requires full slab
-    coverage for Pallas) — the precondition of the percentile
-    order-statistic exactness argument.
+    On TPU this runs the Pallas three-range-slab kernel
+    (ops/nn_pallas.grid_range_query3) — per query tile, three short
+    contiguous DMAs (the tile's y/z-window inside each of its three
+    x-slabs) instead of the [Q, 9*max_run] gather, which made the XLA
+    formulation gather-bound (BENCH_r01: 519.7 ms vs 128.4 ms brute at
+    142k points), and a ~2.7x tighter candidate set than the round-2
+    whole-union one-slab kernel (grid_range_query).  Callers keep their
+    query clouds approximately cell-sorted for tight ranges (the pipeline
+    stores the source cloud in target-grid cell order); correctness never
+    depends on it.  Elsewhere (CPU tests) it keeps the XLA gather
+    formulation.  Both paths guarantee: resolved queries carry their EXACT
+    nearest distance <= h.  ``strict`` is True iff additionally every
+    unresolved query's true distance exceeds h (always true for the XLA
+    path; requires full slab coverage for Pallas) — the precondition of
+    the percentile order-statistic exactness argument.
     """
     if jax.default_backend() == "tpu":
-        from .nn_pallas import grid_range_query
+        from .nn_pallas import grid_range_query3
 
-        return grid_range_query(queries, q_mask, sorted_pts, cell_starts,
-                                origin, dims, h)
+        return grid_range_query3(queries, q_mask, sorted_pts, cell_starts,
+                                 origin, dims, h)
     idx, d, res = _grid_query(queries, q_mask, sorted_pts, cell_starts,
                               origin, dims, max_run, h)
     return idx, d, res, jnp.asarray(True)

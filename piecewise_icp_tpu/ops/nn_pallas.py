@@ -484,6 +484,45 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     return qp, ranges, t_rows, covered
 
 
+def grid_range_query3(queries: jnp.ndarray, q_mask: jnp.ndarray,
+                      sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
+                      origin: jnp.ndarray, dims: jnp.ndarray, h,
+                      interpret: bool | None = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray]:
+    """1-NN via the three-range slab kernel — the tight-slab successor of
+    :func:`grid_range_query` (same contract: idx into the SORTED target
+    order, dist, resolved [Q], strict []).
+
+    Where the one-slab kernel DMAs the whole-tile range union (~_RMAX
+    lanes, ~25x over-fetch: the 27-cell window of an x-major-sorted cloud
+    spans THREE x-slabs), this one DMAs the tile's y/z-window inside each
+    x-slab separately — 3*_SEG candidate lanes, a ~2.7x op reduction and
+    ~10x fewer wasted lanes.  Queries should be approximately cell-sorted
+    (the pipeline keeps the source cloud in target-grid cell order);
+    correctness never depends on it — a tile whose ranges exceed _SEG is
+    reported uncovered and its queries unresolved, exactly like the
+    one-slab kernel.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    qn = queries.shape[0]
+    tn = sorted_pts.shape[0]
+    qp, ranges, t_rows, covered = tile_ranges3(
+        queries, q_mask, sorted_pts, cell_starts, origin, dims, h)
+    idx, d2 = _knn3_padded(qp, ranges, t_rows, 1, interpret=interpret)
+    idx = idx[:qn, 0]
+    d = jnp.sqrt(jnp.maximum(d2[:qn, 0], 0.0))
+    cov_q = jnp.repeat(covered, _KQT)[:qn]
+    found = jnp.isfinite(d) & (d <= h)
+    resolved = (~q_mask) | (cov_q & found)
+    d = jnp.where(q_mask, d, jnp.inf)
+    idx = jnp.clip(jnp.where(idx == _IMAX, 0, idx), 0, max(tn - 1, 0))
+    # strict: every tile covered -> "unresolved => true distance > h" holds
+    # (the percentile order-statistic exactness precondition)
+    return idx, d, resolved, jnp.all(covered)
+
+
 def grid_knn_sorted(queries: jnp.ndarray, q_mask: jnp.ndarray,
                     sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
                     origin: jnp.ndarray, dims: jnp.ndarray, h, k: int,

@@ -209,10 +209,21 @@ def overlap_ratio_grid(target_grid, source: jnp.ndarray,
     if abs(target_grid.h - dt_init) > 1e-12 * max(dt_init, 1.0):
         raise ValueError("overlap grid must be built with h == dt_init")
     n = source.shape[0]
+    # sort queries by the target grid's cell id (host, O(N log N)): the
+    # ratio is order-free, and the Pallas three-range slab kernel needs
+    # spatially coherent query tiles to keep every tile covered
+    src_np = np.asarray(source, dtype=np.float32)
+    cell = np.floor((src_np.astype(np.float64) - target_grid.origin)
+                    / target_grid.h).astype(np.int64)
+    dx, dy, dz = target_grid.dims
+    lin = ((np.clip(cell[:, 0], 0, dx - 1) * dy
+            + np.clip(cell[:, 1], 0, dy - 1)) * dz
+           + np.clip(cell[:, 2], 0, dz - 1))
+    src_np = src_np[np.argsort(lin, kind="stable")]
     # bucket the query count so differently sized epochs share one
     # executable (each fresh shape costs a slow tunnel compile)
     pad = _bucket(max(n, 1), base=4096) - n
-    src = jnp.pad(source, ((0, pad), (0, 0)))
+    src = jnp.pad(jnp.asarray(src_np), ((0, pad), (0, 0)))
     mask = jnp.arange(n + pad) < n
     _, d, resolved, strict = grid_query_1nn(
         src, mask, jnp.asarray(target_grid.points),

@@ -123,6 +123,79 @@ class TestGridRangeQuery:
         assert (d[qm] == 0.0).all()    # q is a permutation of t
 
 
+def _range_query3(q, grid, q_mask=None):
+    from piecewise_icp_tpu.ops.nn_pallas import grid_range_query3
+
+    if q_mask is None:
+        q_mask = jnp.ones((q.shape[0],), bool)
+    return grid_range_query3(
+        jnp.asarray(q), q_mask, jnp.asarray(grid.points),
+        jnp.asarray(grid.cell_starts), jnp.asarray(grid.origin),
+        jnp.asarray(grid.dims, jnp.int32),
+        jnp.asarray(grid.h, jnp.float32))
+
+
+class TestGridRangeQuery3:
+    """Three-range 1-NN kernel (the round-3 production percentile path):
+    same exactness contract as the one-slab kernel, tighter slabs."""
+
+    def test_coherent_queries_all_exact(self, rng):
+        t = (rng.uniform(size=(8000, 3))
+             * np.array([3.0, 2.0, 1.0])).astype(np.float32)
+        grid = build_grid(t, h=0.02)
+        q = _cell_sort(
+            t + rng.normal(scale=0.004, size=t.shape).astype(np.float32),
+            grid)
+        idx, d, res, strict = (np.asarray(a) for a in _range_query3(q, grid))
+        bi, bd = nn1(jnp.asarray(q), jnp.asarray(grid.points))
+        bi, bd = np.asarray(bi), np.asarray(bd)
+        assert bool(strict)
+        assert res.mean() > 0.999
+        np.testing.assert_array_equal(d[res], bd[res])
+        np.testing.assert_array_equal(idx[res], bi[res])
+        assert (bd[~res] > grid.h).all()   # dichotomy for the rest
+
+    def test_resolved_always_exact_even_scrambled(self, rng):
+        t = (rng.uniform(size=(20000, 3)) * 8.0).astype(np.float32)
+        q = (rng.uniform(size=(3000, 3)) * 8.0).astype(np.float32)
+        grid = build_grid(t, h=0.15)
+        idx, d, res, strict = (np.asarray(a) for a in _range_query3(q, grid))
+        bd = np.asarray(nn1(jnp.asarray(q), jnp.asarray(grid.points))[1])
+        np.testing.assert_allclose(d[res], bd[res], rtol=0, atol=0)
+        if bool(strict):
+            assert (bd[~res] > grid.h).all()
+
+    def test_matches_one_slab_kernel(self, rng):
+        # surface-like cloud, sorted queries: both kernels fully resolve
+        # and must agree bit-for-bit with each other
+        xy = (rng.uniform(size=(5000, 2))
+              * np.array([3.0, 2.0])).astype(np.float32)
+        z = 0.2 * np.sin(xy[:, 0] * 3) + rng.normal(scale=0.002, size=5000)
+        t = np.column_stack([xy, z]).astype(np.float32)
+        grid = build_grid(t, h=0.06)
+        q = _cell_sort(
+            t + rng.normal(scale=0.01, size=t.shape).astype(np.float32),
+            grid)
+        i3, d3, r3, s3 = (np.asarray(a) for a in _range_query3(q, grid))
+        i1, d1, r1, s1 = (np.asarray(a) for a in _range_query(q, grid))
+        both = r3 & r1
+        assert both.mean() > 0.99
+        np.testing.assert_array_equal(d3[both], d1[both])
+        np.testing.assert_array_equal(i3[both], i1[both])
+
+    def test_masked_queries(self, rng):
+        t = (rng.uniform(size=(5000, 3)) * 2.0).astype(np.float32)
+        grid = build_grid(t, h=0.05)
+        q = _cell_sort(t.copy(), grid)
+        qm = np.ones(q.shape[0], bool)
+        qm[::3] = False
+        idx, d, res, _ = (np.asarray(a) for a in
+                          _range_query3(q, grid, jnp.asarray(qm)))
+        assert np.isinf(d[~qm]).all()
+        assert res[~qm].all()
+        assert (d[qm] == 0.0).all()
+
+
 def _knn_sorted(q, grid, k, q_mask=None):
     from piecewise_icp_tpu.ops.nn_pallas import grid_knn_sorted
 
