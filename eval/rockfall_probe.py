@@ -127,7 +127,15 @@ def _conditioning(r):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/pwicp_rockfall_probe")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (JAX_PLATFORMS env is "
+                         "ignored by the axon plugin; this sets the config "
+                         "flag before any JAX call)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

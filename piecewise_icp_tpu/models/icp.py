@@ -167,7 +167,7 @@ def compute_vcm(target: np.ndarray, target_normals: np.ndarray,
     (rx, ry, rz, tx, ty, tz) mapping source onto target — the correction
     the reference computes and discards (Registration.cpp:1329).
     """
-    a, l, valid = map(np.asarray, vcm_normal_equations(
+    a, l, valid = jax.device_get(vcm_normal_equations(
         jnp.asarray(target), jnp.asarray(target_normals),
         jnp.asarray(target_mask), jnp.asarray(source),
         jnp.asarray(source_mask)))

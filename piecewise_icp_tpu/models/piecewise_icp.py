@@ -513,9 +513,10 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         #      (Registration.cpp:957-961) ----
         if to_stage3 or iteration >= max_outer:
             with gphase("core.vcm"):
-                vcm, _ = compute_vcm(np.asarray(ct1), np.asarray(n1),
-                                     np.asarray(ct1_mask), np.asarray(ct2),
-                                     np.asarray(stable))
+                # one batched fetch: five np.asarray calls each pay a
+                # tunnel round-trip
+                vcm, _ = compute_vcm(*jax.device_get(
+                    (ct1, n1, ct1_mask, ct2, stable)))
 
         # ---- adopt the transformed state (computed inside the fused step,
         #      Registration.cpp:942-954) ----

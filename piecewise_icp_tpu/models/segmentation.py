@@ -267,8 +267,9 @@ def build_patches(points: np.ndarray, sv_resolution: float,
         # slots have zero members, fail the size gate, and drop out below
         from ..ops.grid_nn import _bucket
         nsv_b = _bucket(max(nsv, 1), base=256)
-        (valid, trim, ct, bp, nrm, std_bp, std_ct, cnt) = map(
-            np.asarray,
+        # ONE batched device->host fetch: eight separate np.asarray calls
+        # each pay a tunnel round-trip (~10-30 ms)
+        (valid, trim, ct, bp, nrm, std_bp, std_ct, cnt) = jax.device_get(
             _patch_statistics(jnp.asarray(pts), jnp.asarray(labels_raw),
                               nsv_b,
                               cfg.min_patch_points, cfg.patch_trim_sigma,

@@ -151,14 +151,14 @@ def segment_cloud_device(points: np.ndarray, sv_resolution: float,
         origin = jnp.asarray(grid.origin)
         dims = jnp.asarray(grid.dims, jnp.int32)
         t2, cnt, normals, covered = seg_stats(
-            sorted_pts, q_mask, starts, origin, dims, h, k)
+            sorted_pts, q_mask, starts, origin, dims, h, k, n_queries=n)
         jax.block_until_ready(t2)
     with gphase("seg.supervoxel"):
         seeds = propagate_seeds(grid.points[:n], sv_resolution)
         lab_sorted, rounds = propagate_rounds(
             sorted_pts, normals, t2, q_mask, jnp.asarray(seeds),
             starts, origin, dims, h, sv_resolution,
-            max_rounds=_MAX_ROUNDS)
+            max_rounds=_MAX_ROUNDS, n_queries=n)
         jax.block_until_ready(lab_sorted)
 
     # back to original order + first-occurrence compaction (host, O(N))

@@ -227,6 +227,10 @@ def _range_nn_padded(q, lo_al, t_rows, interpret: bool = False):
     best_d2, best_i = pl.pallas_call(
         _range_nn_kernel,
         grid_spec=grid_spec,
+        # slab scratch + per-tile temporaries sit near the conservative
+        # 16 MB scoped-VMEM default; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         out_shape=(jax.ShapeDtypeStruct((qp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((qp, 1), jnp.int32)),
         interpret=interpret,
@@ -326,83 +330,117 @@ def grid_range_query(queries: jnp.ndarray, q_mask: jnp.ndarray,
 
 _KQT = 128      # k-NN query tile (sublanes)
 _SEG = 1024     # lanes per x-slab range; slab = 3 segments
+_TPB = 32       # query tiles per grid step (super-tile)
 
 
 def _knn3_kernel(rng_ref, qx, qy, qz, tx, ty, tz,
                  out_i, out_d2, sx, sy, sz, gid, d2b, sems, *, k: int):
     # rng_ref [n_tiles * 9] FLAT: (lo_aligned[3], lo[3], hi[3]) per tile —
     # one packed 1-D prefetch operand (2-D scalar operands get lane-padded
-    # to 128 in SMEM, which alone overflows the 1 MB budget)
-    i = pl.program_id(0)
+    # to 128 in SMEM, which alone overflows the 1 MB budget).
+    #
+    # Super-tiled: each grid step processes _TPB query tiles in an inner
+    # fori_loop with DOUBLE-BUFFERED slab DMAs (slabs for tile t+1 are in
+    # flight while tile t computes).  The per-grid-step dispatch overhead
+    # that dominated the one-tile-per-step formulation (~30 us/step, vs
+    # ~1 us of VPU work per tile) is amortised _TPB-fold; the remaining
+    # per-tile cost is the extraction arithmetic itself.
+    blk = pl.program_id(0)
+    base = blk * _TPB
 
-    copies = []
-    for r in range(3):
-        lo = pl.multiple_of(rng_ref[9 * i + r], 128)
-        for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
-            dma = pltpu.make_async_copy(
-                src.at[0, pl.ds(lo, _SEG)],
-                dst.at[0, pl.ds(r * _SEG, _SEG)], sems.at[3 * r + c])
-            dma.start()
-            copies.append(dma)
-    for dma in copies:
-        dma.wait()
+    def dmas(tg, slot):
+        out = []
+        for r in range(3):
+            lo = pl.multiple_of(rng_ref[9 * tg + r], 128)
+            for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
+                out.append(pltpu.make_async_copy(
+                    src.at[0, pl.ds(lo, _SEG)],
+                    dst.at[slot, 0, pl.ds(r * _SEG, _SEG)],
+                    sems.at[slot, 3 * r + c]))
+        return out
 
-    # global candidate ids + validity per lane (ranges are disjoint after
-    # the caller's monotone clamp, so no candidate appears twice)
-    local = jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
-    for r in range(3):
-        base = pl.multiple_of(rng_ref[9 * i + r], 128)
-        gidx = base + local
-        valid = ((gidx >= rng_ref[9 * i + 3 + r])
-                 & (gidx < rng_ref[9 * i + 6 + r]))
-        gid[:, pl.ds(r * _SEG, _SEG)] = jnp.where(valid, gidx, _IMAX)
+    for dma in dmas(base, 0):
+        dma.start()
 
-    # distances of the whole tile against the whole slab, masked lanes BIG
-    bad = gid[:] == _IMAX
-    dx = qx[:] - sx[:]
-    dy = qy[:] - sy[:]
-    dz = qz[:] - sz[:]
-    d2b[:] = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+    def body(i, _):
+        tg = base + i
+        slot = jax.lax.rem(i, 2)
 
-    # k min-extraction passes (static unroll: every column write is static)
-    for j in range(k):
-        best = jnp.min(d2b[:], axis=1, keepdims=True)
-        cand = jnp.where(d2b[:] == best, gid[:], _IMAX)
-        arg = jnp.min(cand, axis=1, keepdims=True)
-        out_d2[:, j:j + 1] = best
-        out_i[:, j:j + 1] = arg
-        d2b[:] = jnp.where(gid[:] == arg, _BIG, d2b[:])
+        @pl.when(i + 1 < _TPB)
+        def _():
+            for dma in dmas(tg + 1, jax.lax.rem(i + 1, 2)):
+                dma.start()
+
+        for dma in dmas(tg, slot):
+            dma.wait()
+
+        # global candidate ids + validity per lane (ranges are disjoint
+        # after the caller's monotone clamp: no candidate appears twice)
+        local = jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
+        for r in range(3):
+            b = pl.multiple_of(rng_ref[9 * tg + r], 128)
+            gidx = b + local
+            valid = ((gidx >= rng_ref[9 * tg + 3 + r])
+                     & (gidx < rng_ref[9 * tg + 6 + r]))
+            gid[:, pl.ds(r * _SEG, _SEG)] = jnp.where(valid, gidx, _IMAX)
+
+        # distances of the tile against the slab, masked lanes BIG
+        qsl = pl.ds(i * _KQT, _KQT)
+        bad = gid[:] == _IMAX
+        dx = qx[qsl, :] - sx[slot, 0, :].reshape(1, -1)
+        dy = qy[qsl, :] - sy[slot, 0, :].reshape(1, -1)
+        dz = qz[qsl, :] - sz[slot, 0, :].reshape(1, -1)
+        d2b[:] = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+
+        # k min-extraction passes (static unroll: column writes static)
+        for j in range(k):
+            best = jnp.min(d2b[:], axis=1, keepdims=True)
+            cand = jnp.where(d2b[:] == best, gid[:], _IMAX)
+            arg = jnp.min(cand, axis=1, keepdims=True)
+            out_d2[qsl, j:j + 1] = best
+            out_i[qsl, j:j + 1] = arg
+            d2b[:] = jnp.where(gid[:] == arg, _BIG, d2b[:])
+        return 0
+
+    jax.lax.fori_loop(0, _TPB, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
-    """q [Qp, 3] (Qp % KQT == 0), ranges [n_tiles * 9] int32 flat-packed
-    as (lo_aligned[3], lo[3], hi[3]) per tile with lo_aligned 128-aligned
-    and clamped to [0, Tp - SEG], t_rows [3, Tp]."""
+    """q [Qp, 3] (Qp % (KQT*TPB) == 0), ranges [n_tiles * 9] int32 flat-
+    packed as (lo_aligned[3], lo[3], hi[3]) per tile with lo_aligned
+    128-aligned and clamped to [0, Tp - SEG], t_rows [3, Tp]."""
     qp = q.shape[0]
     n_tiles = qp // _KQT
     cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
     rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
-    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    q_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((_KQT, k), lambda i, *_: (i, 0))
+    out_spec = pl.BlockSpec((_TPB * _KQT, k), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // _TPB,),
         in_specs=[q_spec] * 3 + [t_spec] * 3,
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # x slab
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # y slab
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),   # z slab
+            # [slot, 1, lanes]: the buffer slot is a LEADING untiled
+            # axis — Mosaic cannot dynamically slice a dim that is part
+            # of the (sublane, lane) tiling
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # x slab (2 slots)
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # y slab
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # z slab
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),     # global ids per lane
             pltpu.VMEM((_KQT, 3 * _SEG), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     out_i, out_d2 = pl.pallas_call(
         functools.partial(_knn3_kernel, k=k),
         grid_spec=grid_spec,
+        # slab scratch + per-tile temporaries sit near the conservative
+        # 16 MB scoped-VMEM default; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         out_shape=(jax.ShapeDtypeStruct((qp, k), jnp.int32),
                    jax.ShapeDtypeStruct((qp, k), jnp.float32)),
         interpret=interpret,
@@ -412,7 +450,8 @@ def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
 
 def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
                  sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
-                 origin: jnp.ndarray, dims: jnp.ndarray, h):
+                 origin: jnp.ndarray, dims: jnp.ndarray, h,
+                 tile_multiple: int = 1):
     """Per-tile three-range slab geometry for cell-sorted queries.
 
     For every _KQT-query tile, the 27-cell windows of its queries lie in
@@ -421,10 +460,28 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     flat-packed (lo_aligned[3], lo[3], hi[3]), t_rows [3, Tp] padded
     coordinate rows, covered [n_tiles]).  Shared prelude of the k-NN and
     fused-segmentation kernels.
+
+    ``tile_multiple``: pad the tile count to this multiple (degenerate
+    ranges, all-masked queries) — the super-tiled kernels process that
+    many tiles per grid step.
+
+    Queries farther than ``h`` outside the grid's bounding box cannot
+    have a neighbour within ``h`` (the box is the tight AABB of the
+    targets), so they are excluded from the range union like masked
+    queries — otherwise a tile mixing far-outside queries (clipped to
+    edge cells across the whole y/z face) spans an entire x-slab and
+    loses coverage.  Their tiles stay covered and they simply resolve
+    as "not found", which preserves the dichotomy unresolved =>
+    true distance > h.
     """
     qn = queries.shape[0]
     dx, dy, dz = dims[0], dims[1], dims[2]
     n_cells = jnp.minimum(dx * dy * dz, cell_starts.shape[0] - 1)
+
+    box_hi = origin + jnp.stack([dx, dy, dz]).astype(queries.dtype) * h
+    inbox = jnp.all((queries >= origin - h) & (queries <= box_hi + h),
+                    axis=1)
+    q_eff = q_mask & inbox
 
     cell = jnp.floor((queries - origin) / h).astype(jnp.int32)
     cx = jnp.clip(cell[:, 0], 0, dx - 1)
@@ -442,11 +499,11 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
         hi_col = (x * dy + y1) * dz + z1
         lo_q = cell_starts[jnp.clip(lo_col, 0, n_cells)]
         hi_q = cell_starts[jnp.clip(hi_col + 1, 0, n_cells)]
-        # masked queries contribute degenerate ranges
-        los.append(jnp.where(q_mask, lo_q, 2**30))
-        his.append(jnp.where(q_mask, hi_q, 0))
+        # masked and far-outside queries contribute degenerate ranges
+        los.append(jnp.where(q_eff, lo_q, 2**30))
+        his.append(jnp.where(q_eff, hi_q, 0))
 
-    qpad = (-qn) % _KQT
+    qpad = (-qn) % (_KQT * tile_multiple)
     qp = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
     n_tiles = qp.shape[0] // _KQT
     lo_t, hi_t = [], []
@@ -457,6 +514,12 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
         hi_t.append(jnp.max(hi_r.reshape(n_tiles, _KQT), axis=1))
     lo_t = jnp.stack(lo_t, axis=1)            # [T, 3]
     hi_t = jnp.stack(hi_t, axis=1)
+    # tiles whose queries are ALL masked/padded keep the 2**30 sentinel as
+    # their min — collapse them to the empty range [0, 0) so they stay
+    # covered (all their lanes invalid) instead of spanning the sentinel
+    empty = lo_t >= 2**30
+    lo_t = jnp.where(empty, 0, lo_t)
+    hi_t = jnp.where(empty, 0, hi_t)
     hi_t = jnp.maximum(hi_t, lo_t)
     # monotone clamp: x-clipping at the cloud edge can collapse adjacent
     # ranges onto the same x-slab; forcing lo_r >= hi_{r-1} makes the three
@@ -509,7 +572,8 @@ def grid_range_query3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     qn = queries.shape[0]
     tn = sorted_pts.shape[0]
     qp, ranges, t_rows, covered = tile_ranges3(
-        queries, q_mask, sorted_pts, cell_starts, origin, dims, h)
+        queries, q_mask, sorted_pts, cell_starts, origin, dims, h,
+        tile_multiple=_TPB)
     idx, d2 = _knn3_padded(qp, ranges, t_rows, 1, interpret=interpret)
     idx = idx[:qn, 0]
     d = jnp.sqrt(jnp.maximum(d2[:qn, 0], 0.0))
@@ -544,7 +608,8 @@ def grid_knn_sorted(queries: jnp.ndarray, q_mask: jnp.ndarray,
     qn = queries.shape[0]
     tn = sorted_pts.shape[0]
     qp, ranges, t_rows, covered = tile_ranges3(
-        queries, q_mask, sorted_pts, cell_starts, origin, dims, h)
+        queries, q_mask, sorted_pts, cell_starts, origin, dims, h,
+        tile_multiple=_TPB)
     idx, d2 = _knn3_padded(qp, ranges, t_rows, k, interpret=interpret)
     idx = idx[:qn]
     d = jnp.sqrt(jnp.maximum(d2[:qn], 0.0))

@@ -42,46 +42,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nn_pallas import _KQT, _SEG, _BIG, _IMAX, _on_tpu, tile_ranges3
+from .nn_pallas import _KQT, _SEG, _TPB, _BIG, _IMAX, _on_tpu, tile_ranges3
 
 _NBINS = 8
 _NROUNDS = 3
 _STATS = 16          # output lanes per query (11 used, padded to 16)
 
 
-def _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems, extra=()):
-    """Start+wait the three-range coordinate (and optional extra-array)
-    DMAs for tile ``i``.  ``extra``: (src [R, Tp], dst [R, 3*SEG], base
-    semaphore index) triples with R sublane-aligned."""
-    copies = []
+def _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems, extra=()):
+    """The three-range coordinate (and optional extra-array) DMA
+    descriptors for global tile ``tg`` into buffer ``slot``.  ``extra``:
+    (src [R, Tp], dst [2, R, 3*SEG], base semaphore index) triples with R
+    sublane-aligned.  Caller starts/waits them (double-buffered)."""
+    out = []
     for r in range(3):
-        lo = pl.multiple_of(rng_ref[9 * i + r], 128)
+        lo = pl.multiple_of(rng_ref[9 * tg + r], 128)
         for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
-            dma = pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 src.at[0, pl.ds(lo, _SEG)],
-                dst.at[0, pl.ds(r * _SEG, _SEG)], sems.at[3 * r + c])
-            dma.start()
-            copies.append(dma)
+                dst.at[slot, 0, pl.ds(r * _SEG, _SEG)],
+                sems.at[slot, 3 * r + c]))
         for src, dst, base in extra:
-            dma = pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 src.at[:, pl.ds(lo, _SEG)],
-                dst.at[:, pl.ds(r * _SEG, _SEG)], sems.at[base + r])
-            dma.start()
-            copies.append(dma)
-    for dma in copies:
-        dma.wait()
+                dst.at[slot, :, pl.ds(r * _SEG, _SEG)],
+                sems.at[slot, base + r]))
+    return out
 
 
-def _valid_lanes(rng_ref, i, gid):
+def _valid_lanes(rng_ref, tg, gid):
     """Fill ``gid`` [1, 3*SEG] with global candidate ids (IMAX on lanes
-    outside the tile's exact ranges; ranges are disjoint so no candidate
-    appears twice)."""
+    outside tile ``tg``'s exact ranges; ranges are disjoint so no
+    candidate appears twice)."""
     local = jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
     for r in range(3):
-        base = pl.multiple_of(rng_ref[9 * i + r], 128)
+        base = pl.multiple_of(rng_ref[9 * tg + r], 128)
         gidx = base + local
-        valid = ((gidx >= rng_ref[9 * i + 3 + r])
-                 & (gidx < rng_ref[9 * i + 6 + r]))
+        valid = ((gidx >= rng_ref[9 * tg + 3 + r])
+                 & (gidx < rng_ref[9 * tg + 6 + r]))
         gid[:, pl.ds(r * _SEG, _SEG)] = jnp.where(valid, gidx, _IMAX)
 
 
@@ -92,60 +90,84 @@ def _valid_lanes(rng_ref, i, gid):
 
 def _seg_stats_kernel(rng_ref, qx, qy, qz, tx, ty, tz, out,
                       sx, sy, sz, gid, sems, *, k: int, h2: float):
-    i = pl.program_id(0)
-    _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems)
-    _valid_lanes(rng_ref, i, gid)
+    # super-tiled: _TPB query tiles per grid step, double-buffered slab
+    # DMAs (see nn_pallas._knn3_kernel for the scheme)
+    base = pl.program_id(0) * _TPB
 
-    bad = gid[:] == _IMAX
-    dx = qx[:] - sx[:]
-    dy = qy[:] - sy[:]
-    dz = qz[:] - sz[:]
-    d2 = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+    def dmas(tg, slot):
+        return _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems)
 
-    # histogram refinement of the k-th distance: 3 rounds x 8 bins over
-    # [lo, hi], starting at [0, h^2].  After each round the bin containing
-    # rank k becomes the new interval; final resolution h^2/512.
-    lo = jnp.zeros((_KQT, 1), jnp.float32)
-    hi = jnp.full((_KQT, 1), h2, jnp.float32)
-    kf = jnp.float32(k)
-    for _ in range(_NROUNDS):
-        step = (hi - lo) / _NBINS
-        edges = [lo + step * b for b in range(1, _NBINS + 1)]
-        cums = [jnp.sum((d2 <= e).astype(jnp.float32), axis=1,
-                        keepdims=True) for e in edges]
-        new_lo, new_hi = lo, hi
-        found = jnp.zeros((_KQT, 1), dtype=jnp.bool_)
-        prev_edge = lo
-        for b in range(_NBINS):
-            hit = (~found) & (cums[b] >= kf)
-            new_lo = jnp.where(hit, prev_edge, new_lo)
-            new_hi = jnp.where(hit, edges[b], new_hi)
-            found = found | hit
-            prev_edge = edges[b]
-        # fewer than k candidates in the window: keep [lo, hi] == take all
-        lo = jnp.where(found, new_lo, lo)
-        hi = jnp.where(found, new_hi, hi)
+    for dma in dmas(base, 0):
+        dma.start()
 
-    t2 = hi
-    m = (d2 <= t2) & (~bad)
-    mf = m.astype(jnp.float32)
-    cnt = jnp.sum(mf, axis=1, keepdims=True)
+    def body(i, _):
+        tg = base + i
+        slot = jax.lax.rem(i, 2)
 
-    def s(v):
-        return jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
+        @pl.when(i + 1 < _TPB)
+        def _():
+            for dma in dmas(tg + 1, jax.lax.rem(i + 1, 2)):
+                dma.start()
 
-    out[:, 0:1] = cnt
-    out[:, 1:2] = t2
-    out[:, 2:3] = s(-dx)        # sum of (x_j - qx), dx was qx - x_j
-    out[:, 3:4] = s(-dy)
-    out[:, 4:5] = s(-dz)
-    out[:, 5:6] = s(dx * dx)
-    out[:, 6:7] = s(dy * dy)
-    out[:, 7:8] = s(dz * dz)
-    out[:, 8:9] = s(dx * dy)
-    out[:, 9:10] = s(dx * dz)
-    out[:, 10:11] = s(dy * dz)
-    out[:, 11:] = jnp.zeros((_KQT, _STATS - 11), jnp.float32)
+        for dma in dmas(tg, slot):
+            dma.wait()
+
+        _valid_lanes(rng_ref, tg, gid)
+        qsl = pl.ds(i * _KQT, _KQT)
+        bad = gid[:] == _IMAX
+        dx = qx[qsl, :] - sx[slot, 0, :].reshape(1, -1)
+        dy = qy[qsl, :] - sy[slot, 0, :].reshape(1, -1)
+        dz = qz[qsl, :] - sz[slot, 0, :].reshape(1, -1)
+        d2 = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
+
+        # histogram refinement of the k-th distance: 3 rounds x 8 bins
+        # over [lo, hi], starting at [0, h^2].  After each round the bin
+        # containing rank k becomes the new interval; final resolution
+        # h^2/512.
+        lo = jnp.zeros((_KQT, 1), jnp.float32)
+        hi = jnp.full((_KQT, 1), h2, jnp.float32)
+        kf = jnp.float32(k)
+        for _r in range(_NROUNDS):
+            step = (hi - lo) / _NBINS
+            edges = [lo + step * b for b in range(1, _NBINS + 1)]
+            cums = [jnp.sum((d2 <= e).astype(jnp.float32), axis=1,
+                            keepdims=True) for e in edges]
+            new_lo, new_hi = lo, hi
+            found = jnp.zeros((_KQT, 1), dtype=jnp.bool_)
+            prev_edge = lo
+            for b in range(_NBINS):
+                hit = (~found) & (cums[b] >= kf)
+                new_lo = jnp.where(hit, prev_edge, new_lo)
+                new_hi = jnp.where(hit, edges[b], new_hi)
+                found = found | hit
+                prev_edge = edges[b]
+            # fewer than k candidates in the window: keep == take all
+            lo = jnp.where(found, new_lo, lo)
+            hi = jnp.where(found, new_hi, hi)
+
+        t2 = hi
+        m = (d2 <= t2) & (~bad)
+        mf = m.astype(jnp.float32)
+        cnt = jnp.sum(mf, axis=1, keepdims=True)
+
+        def s(v):
+            return jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
+
+        out[qsl, 0:1] = cnt
+        out[qsl, 1:2] = t2
+        out[qsl, 2:3] = s(-dx)      # sum of (x_j - qx), dx was qx - x_j
+        out[qsl, 3:4] = s(-dy)
+        out[qsl, 4:5] = s(-dz)
+        out[qsl, 5:6] = s(dx * dx)
+        out[qsl, 6:7] = s(dy * dy)
+        out[qsl, 7:8] = s(dz * dz)
+        out[qsl, 8:9] = s(dx * dy)
+        out[qsl, 9:10] = s(dx * dz)
+        out[qsl, 10:11] = s(dy * dz)
+        out[qsl, 11:] = jnp.zeros((_KQT, _STATS - 11), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, _TPB, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "h2", "interpret"))
@@ -155,47 +177,73 @@ def _seg_stats_padded(q, ranges, t_rows, k: int, h2: float,
     n_tiles = qp // _KQT
     cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
     rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
-    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    q_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((_KQT, _STATS), lambda i, *_: (i, 0))
+    out_spec = pl.BlockSpec((_TPB * _KQT, _STATS), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // _TPB,),
         in_specs=[q_spec] * 3 + [t_spec] * 3,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
+            # [slot, 1, lanes]: buffer slot as a LEADING untiled axis
+            # (Mosaic cannot dynamically slice the tiled sublane dim)
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_seg_stats_kernel, k=k, h2=h2),
         grid_spec=grid_spec,
+        # the per-tile [KQT, 3*SEG] temporaries push the scoped-VMEM stack
+        # just past the conservative 16 MB default; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((qp, _STATS), jnp.float32),
         interpret=interpret,
     )(ranges, *cols_q, *rows_t)
 
 
+_QBUCKET = 32768     # query-prefix bucket (multiple of _KQT*_TPB)
+
+
+def _query_prefix(sorted_pts, q_mask, n_queries):
+    """Slice the query side of a self-join to a ``_QBUCKET`` bucket of the
+    REAL point count: ``build_grid`` pads targets to power-of-two buckets
+    (142k -> 262k rows), and running the padding rows as queries nearly
+    doubled the segmentation kernels' work and VMEM footprint.  Targets
+    keep the full padded array (slab offsets index into it)."""
+    qn = sorted_pts.shape[0]
+    if n_queries is None:
+        return sorted_pts, q_mask, qn
+    qb = min(qn, -(-int(n_queries) // _QBUCKET) * _QBUCKET)
+    return sorted_pts[:qb], q_mask[:qb], qb
+
+
 def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
               cell_starts: jnp.ndarray, origin: jnp.ndarray,
               dims: jnp.ndarray, h: float, k: int,
-              interpret: bool | None = None):
+              interpret: bool | None = None,
+              n_queries: int | None = None):
     """Per-point neighbourhood statistics of the cell-sorted self-join.
 
     Returns (t2 [Q] — squared adjacency radius of the ~k nearest within
     the 27-cell window; count [Q]; normals [Q, 3] — smallest eigenvector
-    of the neighbourhood covariance; covered [Q]).
+    of the neighbourhood covariance; covered [Q]).  With ``n_queries``,
+    only the first ``n_queries`` (bucket-padded) rows are processed and
+    Q is that padded prefix length.
     """
     from .eigh3 import eigvals3, smallest_eigvec3
 
     if interpret is None:
         interpret = not _on_tpu()
-    qn = sorted_pts.shape[0]
+    queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
     qp, ranges, t_rows, covered = tile_ranges3(
-        sorted_pts, q_mask, sorted_pts, cell_starts, origin, dims, h)
+        queries, qm, sorted_pts, cell_starts, origin, dims, h,
+        tile_multiple=_TPB)
     stats = _seg_stats_padded(qp, ranges, t_rows, k, float(h) * float(h),
                               interpret=interpret)[:qn]
     cnt = jnp.maximum(stats[:, 0], 1.0)
@@ -223,109 +271,142 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _prop_round_kernel(rng_ref, qx, qy, qz, nx, ny, nz, r2, lab_own,
-                       tx, ty, tz, state,
-                       o_spx, o_spy, o_spz, o_snx, o_sny, o_snz, o_lab,
-                       o_chg,
-                       sx, sy, sz, sstate, gid, sems,
+def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
+                       out, sx, sy, sz, sstate, gid, sems,
                        *, inv_res_04: float, adopt: bool):
-    i = pl.program_id(0)
-    _dma_slab(rng_ref, i, tx, ty, tz, sx, sy, sz, sems,
-              extra=((state, sstate, 9),))
-    _valid_lanes(rng_ref, i, gid)
+    # super-tiled with double-buffered slab + state DMAs.  ``qall``
+    # [Qp, 8] packs (qx, qy, qz, nx, ny, nz, r2, pad) into ONE operand
+    # and ``out`` [Qp, 8] packs the seven output fields + changed flag:
+    # one operand/result pair keeps the XLA-staged VMEM footprint of the
+    # while-loop body small (eight separate [Qp, 1] arrays blew the
+    # scoped-vmem stack).
+    base = pl.program_id(0) * _TPB
 
-    bad = gid[:] == _IMAX
-    dxc = qx[:] - sx[:]
-    dyc = qy[:] - sy[:]
-    dzc = qz[:] - sz[:]
-    d2c = dxc * dxc + dyc * dyc + dzc * dzc      # to the CANDIDATE point
+    def dmas(tg, slot):
+        return _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems,
+                          extra=((state, sstate, 9),))
 
-    lab_c = sstate[6:7, :]                        # candidate's label (f32)
-    labelled = lab_c >= 0.0
-    mask = (~bad) & labelled & (d2c <= r2[:])
+    for dma in dmas(base, 0):
+        dma.start()
 
-    if adopt:
-        m = jnp.sqrt(d2c)
-    else:
-        dxs = qx[:] - sstate[0:1, :]              # to the candidate's SEED
-        dys = qy[:] - sstate[1:2, :]
-        dzs = qz[:] - sstate[2:3, :]
-        ds = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
-        dot = (nx[:] * sstate[3:4, :] + ny[:] * sstate[4:5, :]
-               + nz[:] * sstate[5:6, :])
-        m = 1.0 - jnp.abs(dot) + ds * inv_res_04
-    m = jnp.where(mask, m, _BIG)
+    def body(i, _):
+        tg = base + i
+        slot = jax.lax.rem(i, 2)
 
-    best = jnp.min(m, axis=1, keepdims=True)
-    # tie-break toward the smaller label; all lanes carrying that label
-    # share identical seed fields, so a masked min extracts them exactly
-    lab_best = jnp.min(jnp.where(m == best, lab_c, _BIG), axis=1,
-                       keepdims=True)
-    sel = (m == best) & (lab_c == lab_best)
+        @pl.when(i + 1 < _TPB)
+        def _():
+            for dma in dmas(tg + 1, jax.lax.rem(i + 1, 2)):
+                dma.start()
 
-    def pick(row):
-        return jnp.min(jnp.where(sel, row, _BIG), axis=1, keepdims=True)
+        for dma in dmas(tg, slot):
+            dma.wait()
 
-    has = best < _BIG
-    if adopt:
-        upd = has & (lab_own[:] < 0.0)
-    else:
-        upd = has
-    o_spx[:] = jnp.where(upd, pick(sstate[0:1, :]), 0.0)
-    o_spy[:] = jnp.where(upd, pick(sstate[1:2, :]), 0.0)
-    o_spz[:] = jnp.where(upd, pick(sstate[2:3, :]), 0.0)
-    o_snx[:] = jnp.where(upd, pick(sstate[3:4, :]), 0.0)
-    o_sny[:] = jnp.where(upd, pick(sstate[4:5, :]), 0.0)
-    o_snz[:] = jnp.where(upd, pick(sstate[5:6, :]), 0.0)
-    new_lab = jnp.where(upd, lab_best, lab_own[:])
-    o_lab[:] = new_lab
-    o_chg[:] = (new_lab != lab_own[:]).astype(jnp.float32)
+        _valid_lanes(rng_ref, tg, gid)
+        qsl = pl.ds(i * _KQT, _KQT)
+        st = sstate[slot]                            # [8, 3*SEG]
+        bad = gid[:] == _IMAX
+        dxc = qall[qsl, 0:1] - sx[slot, 0, :].reshape(1, -1)
+        dyc = qall[qsl, 1:2] - sy[slot, 0, :].reshape(1, -1)
+        dzc = qall[qsl, 2:3] - sz[slot, 0, :].reshape(1, -1)
+        d2c = dxc * dxc + dyc * dyc + dzc * dzc      # to the CANDIDATE
+
+        lab_c = st[6:7, :]                           # candidate label (f32)
+        labelled = lab_c >= 0.0
+        mask = (~bad) & labelled & (d2c <= qall[qsl, 6:7])
+
+        if adopt:
+            m = jnp.sqrt(d2c)
+        else:
+            dxs = qall[qsl, 0:1] - st[0:1, :]        # to the SEED
+            dys = qall[qsl, 1:2] - st[1:2, :]
+            dzs = qall[qsl, 2:3] - st[2:3, :]
+            ds = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
+            dot = (qall[qsl, 3:4] * st[3:4, :] + qall[qsl, 4:5] * st[4:5, :]
+                   + qall[qsl, 5:6] * st[5:6, :])
+            m = 1.0 - jnp.abs(dot) + ds * inv_res_04
+        m = jnp.where(mask, m, _BIG)
+
+        best = jnp.min(m, axis=1, keepdims=True)
+        # tie-break toward the smaller label; all lanes carrying that
+        # label share identical seed fields, so a masked min extracts
+        # them exactly
+        lab_best = jnp.min(jnp.where(m == best, lab_c, _BIG), axis=1,
+                           keepdims=True)
+        sel = (m == best) & (lab_c == lab_best)
+
+        def pick(row):
+            return jnp.min(jnp.where(sel, row, _BIG), axis=1,
+                           keepdims=True)
+
+        has = best < _BIG
+        if adopt:
+            upd = has & (lab_own[qsl, :] < 0.0)
+        else:
+            upd = has
+        out[qsl, 0:1] = jnp.where(upd, pick(st[0:1, :]), 0.0)
+        out[qsl, 1:2] = jnp.where(upd, pick(st[1:2, :]), 0.0)
+        out[qsl, 2:3] = jnp.where(upd, pick(st[2:3, :]), 0.0)
+        out[qsl, 3:4] = jnp.where(upd, pick(st[3:4, :]), 0.0)
+        out[qsl, 4:5] = jnp.where(upd, pick(st[4:5, :]), 0.0)
+        out[qsl, 5:6] = jnp.where(upd, pick(st[5:6, :]), 0.0)
+        new_lab = jnp.where(upd, lab_best, lab_own[qsl, :])
+        out[qsl, 6:7] = new_lab
+        out[qsl, 7:8] = (new_lab != lab_own[qsl, :]).astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, _TPB, body, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("inv_res_04", "adopt", "interpret"))
-def _prop_round(qcols, ncols, r2, state_rows, ranges, t_rows,
+def _prop_round(qall, state_rows, ranges, t_rows,
                 inv_res_04: float, adopt: bool, interpret: bool = False):
-    """One propagation round.  ``state_rows`` [8, Np] (seed xyz, seed
-    normal xyz, label, pad); returns (new state_rows, changed count)."""
+    """One propagation round.  ``qall`` [Qp, 8] packed per-query operand
+    (qx, qy, qz, nx, ny, nz, r2, pad); ``state_rows`` [8, Np] (seed xyz,
+    seed normal xyz, label, pad) with Np >= Qp; returns (new state_rows,
+    changed count)."""
     np_ = state_rows.shape[1]
-    qp = qcols[0].shape[0]
+    qp = qall.shape[0]
     n_tiles = qp // _KQT
     lab_own = state_rows[6, :qp].reshape(-1, 1)
     rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
-    q_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    q_spec = pl.BlockSpec((_TPB * _KQT, 8), lambda i, *_: (i, 0))
+    l_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((_KQT, 1), lambda i, *_: (i, 0))
+    out_spec = pl.BlockSpec((_TPB * _KQT, 8), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[q_spec] * 8 + [t_spec] * 4,
-        out_specs=(out_spec,) * 8,
+        grid=(n_tiles // _TPB,),
+        in_specs=[q_spec, l_spec] + [t_spec] * 4,
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((8, 3 * _SEG), jnp.float32),
+            # [slot, 1, lanes]: buffer slot as a LEADING untiled axis
+            # (Mosaic cannot dynamically slice the tiled sublane dim)
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            pltpu.VMEM((2, 8, 3 * _SEG), jnp.float32),
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),
-            pltpu.SemaphoreType.DMA((12,)),
+            pltpu.SemaphoreType.DMA((2, 12)),
         ],
     )
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_prop_round_kernel, inv_res_04=inv_res_04,
                           adopt=adopt),
         grid_spec=grid_spec,
-        out_shape=tuple(jax.ShapeDtypeStruct((qp, 1), jnp.float32)
-                        for _ in range(8)),
+        # the per-tile [KQT, 3*SEG] temporaries push the scoped-VMEM stack
+        # past the conservative 16 MB default; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((qp, 8), jnp.float32),
         interpret=interpret,
-    )(ranges, *qcols, *ncols, r2, lab_own, *rows_t, state_rows)
-    (spx, spy, spz, snx, sny, snz, lab, chg) = outs
+    )(ranges, qall, lab_own, *rows_t, state_rows)
     new_rows = jnp.concatenate(
-        [spx, spy, spz, snx, sny, snz, lab,
-         jnp.zeros((qp, 1), jnp.float32)], axis=1).T
+        [out[:, :7], jnp.zeros((qp, 1), jnp.float32)], axis=1).T
     if np_ > qp:
         new_rows = jnp.pad(new_rows, ((0, 0), (0, np_ - qp)),
                            constant_values=-1.0)
-    changed = jnp.sum(chg)
+    changed = jnp.sum(out[:, 7])
     return new_rows, changed
 
 
@@ -335,22 +416,29 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
                      cell_starts: jnp.ndarray, origin: jnp.ndarray,
                      dims: jnp.ndarray, h: float, sv_resolution: float,
                      max_rounds: int = 256,
-                     interpret: bool | None = None
+                     interpret: bool | None = None,
+                     n_queries: int | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run seeded metric label propagation to convergence, then the orphan
-    sweep.  Returns (labels [Q] int32 in SORTED order, rounds)."""
+    sweep.  Returns (labels [Q] int32 in SORTED order, rounds).  With
+    ``n_queries``, only the first ``n_queries`` (bucket-padded) rows act
+    as queries (``normals``/``r2``/``q_mask`` must cover that prefix);
+    every real point must lie in the prefix."""
     if interpret is None:
         interpret = not _on_tpu()
-    qn = sorted_pts.shape[0]
+    queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
     qp, ranges, t_rows, _ = tile_ranges3(
-        sorted_pts, q_mask, sorted_pts, cell_starts, origin, dims, h)
-    qcols = [qp[:, c].reshape(-1, 1) for c in range(3)]
+        queries, qm, sorted_pts, cell_starts, origin, dims, h,
+        tile_multiple=_TPB)
     npad = qp.shape[0] - qn
-    nrm = jnp.pad(normals.astype(jnp.float32), ((0, npad), (0, 0)))
-    ncols = [nrm[:, c].reshape(-1, 1) for c in range(3)]
-    r2p = jnp.pad(r2.astype(jnp.float32), (0, npad)).reshape(-1, 1)
+    nrm = jnp.pad(normals[:qn].astype(jnp.float32), ((0, npad), (0, 0)))
+    r2p = jnp.pad(r2[:qn].astype(jnp.float32), (0, npad)).reshape(-1, 1)
+    qall = jnp.concatenate(
+        [qp, nrm, r2p, jnp.zeros((qp.shape[0], 1), jnp.float32)], axis=1)
 
-    tp = t_rows.shape[1]
+    # the state array shares the slab offsets of t_rows AND backs the
+    # per-query own-label column, so its width must cover both
+    tp = max(t_rows.shape[1], qp.shape[0])
     state = jnp.full((8, tp), -1.0, jnp.float32)
     s_pts = sorted_pts[seed_idx]
     s_nrm = normals[seed_idx]
@@ -360,7 +448,7 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
         jnp.arange(seed_idx.shape[0], dtype=jnp.float32))
 
     labels, rounds = _propagate_all(
-        tuple(qcols), tuple(ncols), r2p, state, ranges, t_rows,
+        qall, state, ranges, t_rows,
         float(0.4 / sv_resolution), max_rounds, interpret)
     labels = labels[:qn]
     return jnp.where(q_mask[:qn], labels, -1), rounds
@@ -368,7 +456,7 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("inv", "max_rounds",
                                              "interpret"))
-def _propagate_all(qcols, ncols, r2p, state, ranges, t_rows,
+def _propagate_all(qall, state, ranges, t_rows,
                    inv: float, max_rounds: int, interpret: bool):
     def cond(carry):
         _, chg, it = carry
@@ -376,7 +464,7 @@ def _propagate_all(qcols, ncols, r2p, state, ranges, t_rows,
 
     def body(carry):
         st, _, it = carry
-        st2, chg = _prop_round(qcols, ncols, r2p, st, ranges, t_rows,
+        st2, chg = _prop_round(qall, st, ranges, t_rows,
                                inv, False, interpret)
         return st2, chg, it + 1
 
@@ -385,7 +473,7 @@ def _propagate_all(qcols, ncols, r2p, state, ranges, t_rows,
 
     def body_a(carry):
         st, _, it = carry
-        st2, chg = _prop_round(qcols, ncols, r2p, st, ranges, t_rows,
+        st2, chg = _prop_round(qall, st, ranges, t_rows,
                                inv, True, interpret)
         return st2, chg, it + 1
 
