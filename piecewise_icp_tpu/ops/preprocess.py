@@ -165,6 +165,7 @@ def estimate_resolution(points: jnp.ndarray,
     return float(jnp.sum(jnp.where(valid, d1, 0.0)) / n)
 
 
+@functools.partial(jax.jit, static_argnames=("percentile",))
 def percentile_c2c(target: jnp.ndarray, source: jnp.ndarray,
                    percentile: float,
                    t_mask: jnp.ndarray | None = None,
@@ -179,8 +180,6 @@ def percentile_c2c(target: jnp.ndarray, source: jnp.ndarray,
     slower and this path is the stage-1 exactness fallback that fires on
     badly misaligned iterations).
     """
-    import jax
-
     if jax.default_backend() == "tpu":
         from .nn_pallas import nn1_pallas
 
