@@ -273,7 +273,7 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
 
 def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
                        out, sx, sy, sz, sstate, gid, sems,
-                       *, inv_res_04: float, adopt: bool):
+                       *, inv_res_04: float, adopt: bool, h2: float):
     # super-tiled with double-buffered slab + state DMAs.  ``qall``
     # [Qp, 8] packs (qx, qy, qz, nx, ny, nz, r2, pad) into ONE operand
     # and ``out`` [Qp, 8] packs the seven output fields + changed flag:
@@ -312,9 +312,14 @@ def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
 
         lab_c = st[6:7, :]                           # candidate label (f32)
         labelled = lab_c >= 0.0
-        mask = (~bad) & labelled & (d2c <= qall[qsl, 6:7])
-
         if adopt:
+            # orphan sweep reaches the FULL 27-cell window (radius h),
+            # not the per-point t_q radius: the host twin's kNN-45 graph
+            # connects sparse points to their true neighbours at ANY
+            # distance, and radius-capping the sweep orphaned whole
+            # sparse regions of deformed epochs into singleton
+            # supervoxels (5.3k SV on a 133k cloud vs ~2.1k host)
+            mask = (~bad) & labelled & (d2c <= h2)
             m = jnp.sqrt(d2c)
         else:
             dxs = qall[qsl, 0:1] - st[0:1, :]        # to the SEED
@@ -324,6 +329,7 @@ def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
             dot = (qall[qsl, 3:4] * st[3:4, :] + qall[qsl, 4:5] * st[4:5, :]
                    + qall[qsl, 5:6] * st[5:6, :])
             m = 1.0 - jnp.abs(dot) + ds * inv_res_04
+            mask = (~bad) & labelled & (d2c <= qall[qsl, 6:7])
         m = jnp.where(mask, m, _BIG)
 
         best = jnp.min(m, axis=1, keepdims=True)
@@ -358,9 +364,11 @@ def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("inv_res_04", "adopt", "interpret"))
+                   static_argnames=("inv_res_04", "adopt", "h2",
+                                    "interpret"))
 def _prop_round(qall, state_rows, ranges, t_rows,
-                inv_res_04: float, adopt: bool, interpret: bool = False):
+                inv_res_04: float, adopt: bool, h2: float,
+                interpret: bool = False):
     """One propagation round.  ``qall`` [Qp, 8] packed per-query operand
     (qx, qy, qz, nx, ny, nz, r2, pad); ``state_rows`` [8, Np] (seed xyz,
     seed normal xyz, label, pad) with Np >= Qp; returns (new state_rows,
@@ -392,7 +400,7 @@ def _prop_round(qall, state_rows, ranges, t_rows,
     )
     out = pl.pallas_call(
         functools.partial(_prop_round_kernel, inv_res_04=inv_res_04,
-                          adopt=adopt),
+                          adopt=adopt, h2=h2),
         grid_spec=grid_spec,
         # the per-tile [KQT, 3*SEG] temporaries push the scoped-VMEM stack
         # past the conservative 16 MB default; v5e has 128 MB VMEM
@@ -449,15 +457,17 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
 
     labels, rounds = _propagate_all(
         qall, state, ranges, t_rows,
-        float(0.4 / sv_resolution), max_rounds, interpret)
+        float(0.4 / sv_resolution), float(h) * float(h), max_rounds,
+        interpret)
     labels = labels[:qn]
     return jnp.where(q_mask[:qn], labels, -1), rounds
 
 
-@functools.partial(jax.jit, static_argnames=("inv", "max_rounds",
+@functools.partial(jax.jit, static_argnames=("inv", "h2", "max_rounds",
                                              "interpret"))
 def _propagate_all(qall, state, ranges, t_rows,
-                   inv: float, max_rounds: int, interpret: bool):
+                   inv: float, h2: float, max_rounds: int,
+                   interpret: bool):
     def cond(carry):
         _, chg, it = carry
         return (chg > 0) & (it < max_rounds)
@@ -465,7 +475,7 @@ def _propagate_all(qall, state, ranges, t_rows,
     def body(carry):
         st, _, it = carry
         st2, chg = _prop_round(qall, st, ranges, t_rows,
-                               inv, False, interpret)
+                               inv, False, h2, interpret)
         return st2, chg, it + 1
 
     state, _, rounds = jax.lax.while_loop(
@@ -474,7 +484,7 @@ def _propagate_all(qall, state, ranges, t_rows,
     def body_a(carry):
         st, _, it = carry
         st2, chg = _prop_round(qall, st, ranges, t_rows,
-                               inv, True, interpret)
+                               inv, True, h2, interpret)
         return st2, chg, it + 1
 
     state, _, _ = jax.lax.while_loop(
