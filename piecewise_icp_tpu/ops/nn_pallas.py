@@ -451,7 +451,7 @@ def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
 def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
                  sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
                  origin: jnp.ndarray, dims: jnp.ndarray, h,
-                 tile_multiple: int = 1):
+                 tile_multiple: int = 1, exact_ranges: bool = False):
     """Per-tile three-range slab geometry for cell-sorted queries.
 
     For every _KQT-query tile, the 27-cell windows of its queries lie in
@@ -488,51 +488,82 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     cy = jnp.clip(cell[:, 1], 0, dy - 1)
     cz = jnp.clip(cell[:, 2], 0, dz - 1)
 
-    # Per-TILE cell bounding box, then SIX cell_starts lookups per tile.
-    # The previous formulation looked cell_starts up per QUERY (6 x [N]
-    # gathers) and reduced per tile — XLA gathers cost ~26 ns/element on
-    # TPU, making the prelude ~12 ms at 142k queries while the kernel
-    # itself runs in ~0.1 ms.  The bbox ranges are a superset of the
-    # per-query union (cell_starts is monotone in the x-major linear
-    # index), so exactness is unchanged; for coherent sorted tiles the
-    # widening is negligible.
+    # Per-TILE cell bounding box, then SIX cell_starts lookups per tile
+    # (default).  The per-QUERY formulation (``exact_ranges=True``) looks
+    # cell_starts up per query (6 x [N] gathers) and reduces per tile —
+    # XLA gathers cost ~26 ns/element on TPU, making that prelude ~12 ms
+    # at 142k queries while the kernel runs in ~0.1 ms, so the
+    # per-iteration percentile path uses the bbox mode.  The bbox ranges
+    # are a superset of the per-query union (cell_starts is monotone in
+    # the x-major linear index) so resolved results are identical, but
+    # tiles wrapping an x-slab boundary span a full y-range and lose
+    # COVERAGE more often (truncated windows -> unresolved queries).
+    # Consumers without a per-query fallback — the segmentation kernels,
+    # whose orphan handling degrades silently when windows truncate —
+    # pay the gathers once per cloud and keep the tight per-query ranges.
     qpad = (-qn) % (_KQT * tile_multiple)
     qp = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
     n_tiles = qp.shape[0] // _KQT
-    big = jnp.int32(1 << 20)
 
-    def tmin(v):
-        vm = jnp.pad(jnp.where(q_eff, v, big), (0, qpad),
-                     constant_values=1 << 20)
-        return jnp.min(vm.reshape(n_tiles, _KQT), axis=1)
+    if exact_ranges:
+        y0q = jnp.clip(cy - 1, 0, dy - 1)
+        y1q = jnp.clip(cy + 1, 0, dy - 1)
+        z0q = jnp.clip(cz - 1, 0, dz - 1)
+        z1q = jnp.clip(cz + 1, 0, dz - 1)
+        lo_t, hi_t = [], []
+        for r in (-1, 0, 1):
+            x = jnp.clip(cx + r, 0, dx - 1)
+            lo_col = (x * dy + y0q) * dz + z0q
+            hi_col = (x * dy + y1q) * dz + z1q
+            lo_q = cell_starts[jnp.clip(lo_col, 0, n_cells)]
+            hi_q = cell_starts[jnp.clip(hi_col + 1, 0, n_cells)]
+            lo_q = jnp.where(q_eff, lo_q, 2**30)
+            hi_q = jnp.where(q_eff, hi_q, 0)
+            lo_r = jnp.pad(lo_q, (0, qpad), constant_values=2**30)
+            hi_r = jnp.pad(hi_q, (0, qpad))
+            lo_t.append(jnp.min(lo_r.reshape(n_tiles, _KQT), axis=1))
+            hi_t.append(jnp.max(hi_r.reshape(n_tiles, _KQT), axis=1))
+        lo_t = jnp.stack(lo_t, axis=1)        # [T, 3]
+        hi_t = jnp.stack(hi_t, axis=1)
+        empty = lo_t >= 2**30                 # all-masked tiles
+        lo_t = jnp.where(empty, 0, lo_t)
+        hi_t = jnp.where(empty, 0, hi_t)
+        hi_t = jnp.maximum(hi_t, lo_t)
+    else:
+        big = jnp.int32(1 << 20)
 
-    def tmax(v):
-        vm = jnp.pad(jnp.where(q_eff, v, -1), (0, qpad),
-                     constant_values=-1)
-        return jnp.max(vm.reshape(n_tiles, _KQT), axis=1)
+        def tmin(v):
+            vm = jnp.pad(jnp.where(q_eff, v, big), (0, qpad),
+                         constant_values=1 << 20)
+            return jnp.min(vm.reshape(n_tiles, _KQT), axis=1)
 
-    txn, txx = tmin(cx), tmax(cx)
-    tyn, tyx = tmin(cy), tmax(cy)
-    tzn, tzx = tmin(cz), tmax(cz)
-    has_real = txx >= 0                       # any unmasked in-box query
-    y0 = jnp.clip(tyn - 1, 0, dy - 1)
-    y1 = jnp.clip(tyx + 1, 0, dy - 1)
-    z0 = jnp.clip(tzn - 1, 0, dz - 1)
-    z1 = jnp.clip(tzx + 1, 0, dz - 1)
+        def tmax(v):
+            vm = jnp.pad(jnp.where(q_eff, v, -1), (0, qpad),
+                         constant_values=-1)
+            return jnp.max(vm.reshape(n_tiles, _KQT), axis=1)
 
-    lo_t, hi_t = [], []
-    for r in (-1, 0, 1):
-        x_lo = jnp.clip(txn + r, 0, dx - 1)
-        x_hi = jnp.clip(txx + r, 0, dx - 1)
-        lo_col = (x_lo * dy + y0) * dz + z0
-        hi_col = (x_hi * dy + y1) * dz + z1
-        lo_r = cell_starts[jnp.clip(lo_col, 0, n_cells)]   # [T] gather
-        hi_r = cell_starts[jnp.clip(hi_col + 1, 0, n_cells)]
-        lo_t.append(jnp.where(has_real, lo_r, 0))
-        hi_t.append(jnp.where(has_real, hi_r, 0))
-    lo_t = jnp.stack(lo_t, axis=1)            # [T, 3]
-    hi_t = jnp.stack(hi_t, axis=1)
-    hi_t = jnp.maximum(hi_t, lo_t)
+        txn, txx = tmin(cx), tmax(cx)
+        tyn, tyx = tmin(cy), tmax(cy)
+        tzn, tzx = tmin(cz), tmax(cz)
+        has_real = txx >= 0                   # any unmasked in-box query
+        y0 = jnp.clip(tyn - 1, 0, dy - 1)
+        y1 = jnp.clip(tyx + 1, 0, dy - 1)
+        z0 = jnp.clip(tzn - 1, 0, dz - 1)
+        z1 = jnp.clip(tzx + 1, 0, dz - 1)
+
+        lo_t, hi_t = [], []
+        for r in (-1, 0, 1):
+            x_lo = jnp.clip(txn + r, 0, dx - 1)
+            x_hi = jnp.clip(txx + r, 0, dx - 1)
+            lo_col = (x_lo * dy + y0) * dz + z0
+            hi_col = (x_hi * dy + y1) * dz + z1
+            lo_r = cell_starts[jnp.clip(lo_col, 0, n_cells)]  # [T] gather
+            hi_r = cell_starts[jnp.clip(hi_col + 1, 0, n_cells)]
+            lo_t.append(jnp.where(has_real, lo_r, 0))
+            hi_t.append(jnp.where(has_real, hi_r, 0))
+        lo_t = jnp.stack(lo_t, axis=1)        # [T, 3]
+        hi_t = jnp.stack(hi_t, axis=1)
+        hi_t = jnp.maximum(hi_t, lo_t)
     # monotone clamp: x-clipping at the cloud edge can collapse adjacent
     # ranges onto the same x-slab; forcing lo_r >= hi_{r-1} makes the three
     # ranges disjoint so no candidate is counted twice

@@ -243,7 +243,7 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
     queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
     qp, ranges, t_rows, covered = tile_ranges3(
         queries, qm, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB)
+        tile_multiple=_TPB, exact_ranges=True)
     stats = _seg_stats_padded(qp, ranges, t_rows, k, float(h) * float(h),
                               interpret=interpret)[:qn]
     cnt = jnp.maximum(stats[:, 0], 1.0)
@@ -437,7 +437,7 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
     queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
     qp, ranges, t_rows, _ = tile_ranges3(
         queries, qm, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB)
+        tile_multiple=_TPB, exact_ranges=True)
     npad = qp.shape[0] - qn
     nrm = jnp.pad(normals[:qn].astype(jnp.float32), ((0, npad), (0, 0)))
     r2p = jnp.pad(r2[:qn].astype(jnp.float32), (0, npad)).reshape(-1, 1)
