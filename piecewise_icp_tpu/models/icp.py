@@ -105,9 +105,13 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
         tgt_n = target_normals[idx]
         if symmetric:
             sign = jnp.sign(jnp.sum(tgt_n * src_n, axis=1, keepdims=True))
-            n_sum = tgt_n + jnp.where(sign == 0, 1.0, sign) * src_n
-            norm = jnp.linalg.norm(n_sum, axis=1, keepdims=True)
-            tgt_n = n_sum / jnp.maximum(norm, 1e-12)
+            # UNNORMALISED bisector (Rusinkiewicz 2019): |n1+n2| < 2 when
+            # the matched normals disagree, so inconsistent (wrong or
+            # cross-patch) correspondences are automatically downweighted
+            # in the normal equations.  A normalised bisector gives such
+            # rows full weight along a skewed direction, which drags the
+            # solve during the early large-DT iterations.
+            tgt_n = 0.5 * (tgt_n + jnp.where(sign == 0, 1.0, sign) * src_n)
         a, l = _p2pl_rows(src, tgt_pt, tgt_n)
         w = source_mask.astype(f32)[:, None]
         a = a * w

@@ -403,23 +403,33 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     step_max_run = (0 if jax.default_backend() == "tpu"
                     else cloud1_grid.max_run)
 
-    if mesh is not None:
-        from ..parallel.sharded import build_sharded_iteration
-        step_fn = build_sharded_iteration(
-            mesh, mesh.axis_names[0],
-            icp_max_iterations=cfg.icp_max_iterations,
-            grid_max_run=step_max_run,
-            icp_trans_eps=cfg.icp_transformation_eps,
-            icp_fitness_eps=cfg.icp_fitness_eps,
-            icp_variant=cfg.icp_variant)
-    else:
-        step_fn = functools.partial(
+    # The symmetric point-to-plane objective is a REFINEMENT objective: its
+    # bisector residual assumes the matched normals describe the same
+    # surface, which only holds once DT is small.  During the coarse
+    # stage-1 iterations (large DT, imprecise correspondences) it picks up
+    # lateral-offset bias, so the staged loop always starts with the
+    # reference objective and switches variants at the stage-2 transition.
+    def _make_step(variant: str):
+        if mesh is not None:
+            from ..parallel.sharded import build_sharded_iteration
+            return build_sharded_iteration(
+                mesh, mesh.axis_names[0],
+                icp_max_iterations=cfg.icp_max_iterations,
+                grid_max_run=step_max_run,
+                icp_trans_eps=cfg.icp_transformation_eps,
+                icp_fitness_eps=cfg.icp_fitness_eps,
+                icp_variant=variant)
+        return functools.partial(
             _iteration_step,
             icp_max_iterations=cfg.icp_max_iterations,
             grid_max_run=step_max_run,
             icp_trans_eps=cfg.icp_transformation_eps,
             icp_fitness_eps=cfg.icp_fitness_eps,
-            icp_variant=cfg.icp_variant)
+            icp_variant=variant)
+
+    step_fn = _make_step("reference")
+    step_fn_fine = (step_fn if cfg.icp_variant == "reference"
+                    else _make_step(cfg.icp_variant))
 
     trans_mat = np.eye(4, dtype=np.float64)
     dt_series = [curr_dt]
@@ -438,7 +448,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
 
         with gphase("core.iteration"):
             (stats_j, stable, pt_stable_j, new_cloud2, new_ct2,
-             new_bp2, new_n2) = step_fn(
+             new_bp2, new_n2) = (step_fn_fine if to_stage2 else step_fn)(
                 ct1, n1, std_ct1, ct1_mask, ct2, n2, bp2, std_bp2,
                 ct2_mask, cloud2_j, cloud2_mask, labels2_j,
                 g_pts, g_starts, g_origin, g_dims, g_h,
@@ -483,9 +493,10 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                 # a badly misaligned pair), so simplicity beats a sharded
                 # brute kernel here.
                 with gphase("core.percentile_exact"):
-                    c2_full = jnp.asarray(np.asarray(cloud2_j)) \
+                    from ..parallel.distributed import fetch
+                    c2_full = jnp.asarray(fetch(cloud2_j)) \
                         if mesh is not None else cloud2_j
-                    s_full = jnp.asarray(np.asarray(pt_stable_j))
+                    s_full = jnp.asarray(fetch(pt_stable_j))
                     d75 = float(percentile_c2c(
                         cloud1_j, c2_full, cfg.dtinit_percentile,
                         t_mask=cloud1_mask, s_mask=s_full))
@@ -538,8 +549,9 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     n2 = patches2.points.shape[0]
     # the loop ran in cell-sorted order; hand the mask back in ORIGINAL
     # point order (sorted position i holds original index c2_perm[i])
+    from ..parallel.distributed import fetch
     stable_mask = np.empty(n2, dtype=bool)
-    stable_mask[c2_perm] = np.asarray(pt_stable_j)[:n2]
+    stable_mask[c2_perm] = fetch(pt_stable_j)[:n2]
     return PairResult(trans_mat=trans_mat, vcm=vcm, dt_series=dt_series,
                       iterations=iteration, stable_ratio=stable_ratio,
                       num_patches=(p1, p2), patches1=patches1,
