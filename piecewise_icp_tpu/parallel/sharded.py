@@ -52,14 +52,26 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "sp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _put(x, sharding: NamedSharding):
+    """Place host data under ``sharding`` — also when the mesh spans
+    multiple controllers (every process passes the identical full array;
+    each materialises only its addressable shards)."""
+    x = np.asarray(x)
+    if all(d.process_index == jax.process_index()
+           for d in sharding.mesh.devices.flat):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def replicated(mesh: Mesh, x):
     """Place an array replicated across the mesh."""
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return _put(x, NamedSharding(mesh, P()))
 
 
 def point_sharded(mesh: Mesh, x, axis: str = "sp"):
     """Place an array sharded along its leading (point) dimension."""
-    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    return _put(x, NamedSharding(mesh, P(axis)))
 
 
 @functools.lru_cache(maxsize=32)
