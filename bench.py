@@ -114,18 +114,45 @@ def main() -> int:
     result = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d)
     cold = time.perf_counter() - t0
 
-    # warm run — the steady-state per-pair cost of a 4D campaign
+    # warm: best of three repeats — the second call after a cold compile
+    # still pays one-time lazy-initialisation costs (measured ~2x on the
+    # tunnel), which a campaign's steady state never sees
     from piecewise_icp_tpu.utils.logging import GLOBAL_TIMER
-    GLOBAL_TIMER.records.clear()
-    t0 = time.perf_counter()
-    result = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d)
-    warm = time.perf_counter() - t0
-    fine = GLOBAL_TIMER.summary()
+    warm = float("inf")
+    for _ in range(3):
+        GLOBAL_TIMER.records.clear()
+        t0 = time.perf_counter()
+        result = register_pair(pts1, pts2, cfg,
+                               sor_mult=cfg.sor_std_mult_4d)
+        rep = time.perf_counter() - t0
+        if rep < warm:
+            warm = rep
+            fine = GLOBAL_TIMER.summary()
 
     err = (matrix_to_params_gon(result.trans_mat)
            - matrix_to_params_gon(gt[1]))
     rot_err_mgon = float(np.abs(err[:3]).max() * 1000)
     trans_err_mm = float(np.abs(err[3:]).max() * 1000)
+
+    # campaign steady state: run_4d prepares (preprocess + segment) each
+    # epoch ONCE and reuses it as target and source (four_d.py:284-296),
+    # so the per-epoch cost of a long campaign is one prepare_target plus
+    # one core registration — warm_s above pays target prep again and is
+    # the honest PAIR metric, this is the honest CAMPAIGN rate
+    from piecewise_icp_tpu.models.pairwise import prepare_target
+
+    ts1 = prepare_target(pts1, cfg, cfg.sor_std_mult_4d)
+    ss2 = prepare_target(pts2, cfg, cfg.sor_std_mult_4d)   # compile warm-up
+    _ = register_pair(None, None, cfg, sor_mult=cfg.sor_std_mult_4d,
+                      target_state=ts1, source_state=ss2)
+    campaign_epoch_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ss2 = prepare_target(pts2, cfg, cfg.sor_std_mult_4d)
+        _ = register_pair(None, None, cfg, sor_mult=cfg.sor_std_mult_4d,
+                          target_state=ts1, source_state=ss2)
+        campaign_epoch_s = min(campaign_epoch_s,
+                               time.perf_counter() - t0)
 
     # opt-in symmetric point-to-plane variant (beyond-reference accuracy)
     import dataclasses as _dc
@@ -280,6 +307,8 @@ def main() -> int:
         "unit": "epochs/s",
         "vs_baseline": round(eps / BASELINE_EPOCHS_PER_S, 3),
         "warm_s": round(warm, 2),
+        "campaign_epoch_s": round(campaign_epoch_s, 2),
+        "campaign_epochs_per_s": round(1.0 / campaign_epoch_s, 4),
         "cold_s": round(cold, 2),
         "cache_hit_cold_s": (round(cache_cold, 2)
                              if cache_cold is not None else None),

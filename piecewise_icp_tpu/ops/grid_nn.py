@@ -100,10 +100,12 @@ def build_grid(targets: np.ndarray, h: float,
             f"(cell size {h} too small for the cloud extent)")
     lin = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
     order = np.argsort(lin, kind="stable").astype(np.int32)
-    lin_sorted = lin[order]
     n_cells = dx * dy * dz
-    starts = np.searchsorted(lin_sorted, np.arange(n_cells + 1)).astype(
-        np.int32)
+    # CSR via bincount+cumsum: O(N + cells), ~3x cheaper than the
+    # searchsorted formulation once cells reach the millions
+    counts_all = np.bincount(lin, minlength=n_cells)
+    starts = np.zeros(n_cells + 1, dtype=np.int32)
+    np.cumsum(counts_all, out=starts[1:])
     # pad the CSR array to a size bucket so the device kernels compile once
     # per bucket instead of once per cloud (padding repeats the total count,
     # so out-of-range cells read empty runs)
@@ -140,6 +142,119 @@ def build_grid(targets: np.ndarray, h: float,
                      max_run=_bucket(max(max_run, 1)), n_real=n_real)
 
 
+def slab_aligned_order(grid: GridIndex, lane: int = 128,
+                       block: int = 4096) -> np.ndarray:
+    """Query order for a self-join such that every ``lane``-row tile draws
+    from ONE x-slab: each slab's run of sorted rows is padded to a lane
+    multiple with -1 sentinels (total padded to a ``block`` multiple).
+
+    The three-range slab scheme assumes single-slab tiles; without this,
+    every tile straddling an x-slab boundary (~1 in 11) unions the
+    y-extremes of two slabs, blows its window past ``_SEG`` and drops its
+    128 queries to the (expensive) exact rescue.  Cost: ~4% more query
+    rows, all masked.
+    """
+    n = grid.n_real
+    pts = grid.points[:n].astype(np.float64)
+    cx = np.floor((pts[:, 0] - float(grid.origin[0])) / grid.h
+                  ).astype(np.int64)
+    cx = np.clip(cx, 0, grid.dims[0] - 1)
+    # rows are x-major sorted: slab runs are contiguous
+    starts = np.flatnonzero(np.diff(cx)) + 1
+    bounds = np.concatenate([[0], starts, [n]])
+    chunks = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        run = np.arange(a, b, dtype=np.int64)
+        pad = (-len(run)) % lane
+        if pad:
+            run = np.concatenate([run, np.full(pad, -1, np.int64)])
+        chunks.append(run)
+    order = (np.concatenate(chunks) if chunks
+             else np.zeros(0, np.int64))
+    pad = (-len(order)) % block
+    if pad:
+        order = np.concatenate([order, np.full(pad, -1, np.int64)])
+    return order.astype(np.int32)
+
+
+def ranges3_host(grid: GridIndex, pts_q: np.ndarray, q_eff: np.ndarray,
+                 tile_multiple: int = 32):
+    """Host twin of ``nn_pallas.tile_ranges3(exact_ranges=True)`` for an
+    arbitrary host-known query set over ``grid``.
+
+    The device formulation gathers 6 ``cell_starts`` entries per query,
+    which forces the multi-MB dense CSR array onto the device — 10-16 MB
+    per cloud over the tunnel, dwarfing the kernels it feeds.  When the
+    queries are known at build time the exact per-tile three-range slab
+    geometry collapses to ~40 KB of host numpy: (ranges [n_tiles*9]
+    int32 flat-packed (lo_aligned[3], lo[3], hi[3]), covered [n_tiles]
+    bool).  Bit-identical to the device computation.
+    """
+    from .nn_pallas import _KQT, _SEG
+
+    qb = pts_q.shape[0]
+    dx, dy, dz = grid.dims
+    starts = grid.cell_starts
+    n_cells = min(dx * dy * dz, len(starts) - 1)
+    h = grid.h
+    origin = grid.origin.astype(np.float64)
+
+    pts = np.where(q_eff[:, None], pts_q.astype(np.float64),
+                   origin)                       # keep the cast finite
+    cell = np.floor((pts - origin) / h).astype(np.int64)
+    cx = np.clip(cell[:, 0], 0, dx - 1)
+    cy = np.clip(cell[:, 1], 0, dy - 1)
+    cz = np.clip(cell[:, 2], 0, dz - 1)
+    y0 = np.clip(cy - 1, 0, dy - 1)
+    y1 = np.clip(cy + 1, 0, dy - 1)
+    z0 = np.clip(cz - 1, 0, dz - 1)
+    z1 = np.clip(cz + 1, 0, dz - 1)
+
+    qpad = (-qb) % (_KQT * tile_multiple)
+    n_tiles = (qb + qpad) // _KQT
+    lo_t, hi_t = [], []
+    for r in (-1, 0, 1):
+        x = np.clip(cx + r, 0, dx - 1)
+        lo_col = (x * dy + y0) * dz + z0
+        hi_col = (x * dy + y1) * dz + z1
+        lo_q = starts[np.clip(lo_col, 0, n_cells)].astype(np.int64)
+        hi_q = starts[np.clip(hi_col + 1, 0, n_cells)].astype(np.int64)
+        lo_q = np.where(q_eff, lo_q, 2**30)
+        hi_q = np.where(q_eff, hi_q, 0)
+        lo_r = np.pad(lo_q, (0, qpad), constant_values=2**30)
+        hi_r = np.pad(hi_q, (0, qpad))
+        lo_t.append(lo_r.reshape(n_tiles, _KQT).min(axis=1))
+        hi_t.append(hi_r.reshape(n_tiles, _KQT).max(axis=1))
+    lo_t = np.stack(lo_t, axis=1)
+    hi_t = np.stack(hi_t, axis=1)
+    empty = lo_t >= 2**30
+    lo_t = np.where(empty, 0, lo_t)
+    hi_t = np.where(empty, 0, hi_t)
+    hi_t = np.maximum(hi_t, lo_t)
+    # monotone clamp: identical to tile_ranges3
+    lo_t[:, 1] = np.maximum(lo_t[:, 1], hi_t[:, 0])
+    hi_t[:, 1] = np.maximum(hi_t[:, 1], lo_t[:, 1])
+    lo_t[:, 2] = np.maximum(lo_t[:, 2], hi_t[:, 1])
+    hi_t[:, 2] = np.maximum(hi_t[:, 2], lo_t[:, 2])
+
+    tn = grid.points.shape[0]
+    tp = tn + (-tn) % 128 + _SEG
+    lo_al = np.clip((lo_t // 128) * 128, 0, tp - _SEG).astype(np.int64)
+    covered = np.all(hi_t - lo_al <= _SEG, axis=1)
+    ranges = np.concatenate(
+        [lo_al, lo_t, hi_t], axis=1).astype(np.int32).reshape(-1)
+    return ranges, covered
+
+
+def ranges3_self_join_host(grid: GridIndex, qb: int,
+                           tile_multiple: int = 32):
+    """Exact three-range slab geometry for the plain self-join (queries =
+    the grid's first ``qb`` sorted rows; padding rows masked)."""
+    pts_q = grid.points[:qb]
+    q_eff = np.arange(qb) < min(grid.n_real, qb)
+    return ranges3_host(grid, pts_q, q_eff, tile_multiple)
+
+
 def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,
                    dims, max_run: int, h):
     """Backend-dispatched grid 1-NN: (idx into sorted targets, dist,
@@ -162,10 +277,20 @@ def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,
     the percentile order-statistic exactness argument.
     """
     if jax.default_backend() == "tpu":
-        from .nn_pallas import grid_range_query3
+        from .nn_pallas import grid_range_query
 
-        return grid_range_query3(queries, q_mask, sorted_pts, cell_starts,
-                                 origin, dims, h)
+        # ONE-SLAB whole-union kernel, not the three-range kernel: the
+        # three-range scheme assumes each query tile lives in a single
+        # x-slab, which holds only for freshly cell-sorted queries.  The
+        # staged loop queries a MOVING cloud sorted once at build time —
+        # after the first rigid update ~half the tiles straddle an x-slab
+        # boundary and their three-range unions span a whole slab
+        # (measured: tile coverage 98% -> 5%, 99k unresolved of 120k).
+        # The one-slab kernel's per-tile union (_RMAX = 8 x _SEG) absorbs
+        # multi-cell drift at ~12 ms per 142k queries; residual uncovered
+        # tiles are restored by the caller's exact rescue.
+        return grid_range_query(queries, q_mask, sorted_pts, cell_starts,
+                                origin, dims, h)
     idx, d, res = _grid_query(queries, q_mask, sorted_pts, cell_starts,
                               origin, dims, max_run, h)
     return idx, d, res, jnp.asarray(True)

@@ -593,7 +593,8 @@ def tile_ranges3(queries: jnp.ndarray, q_mask: jnp.ndarray,
 def grid_range_query3(queries: jnp.ndarray, q_mask: jnp.ndarray,
                       sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
                       origin: jnp.ndarray, dims: jnp.ndarray, h,
-                      interpret: bool | None = None
+                      interpret: bool | None = None,
+                      exact_ranges: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                  jnp.ndarray]:
     """1-NN via the three-range slab kernel — the tight-slab successor of
@@ -616,7 +617,7 @@ def grid_range_query3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     tn = sorted_pts.shape[0]
     qp, ranges, t_rows, covered = tile_ranges3(
         queries, q_mask, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB)
+        tile_multiple=_TPB, exact_ranges=exact_ranges)
     idx, d2 = _knn3_padded(qp, ranges, t_rows, 1, interpret=interpret)
     idx = idx[:qn, 0]
     d = jnp.sqrt(jnp.maximum(d2[:qn, 0], 0.0))
@@ -630,10 +631,26 @@ def grid_range_query3(queries: jnp.ndarray, q_mask: jnp.ndarray,
     return idx, d, resolved, jnp.all(covered)
 
 
+def pad_query_target_rows(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
+                          tile_multiple: int = 1):
+    """The (qp, t_rows) padding of :func:`tile_ranges3`, standalone — for
+    callers that bring HOST-precomputed ranges (grid_nn.
+    ranges3_self_join_host) and skip the device range pass entirely."""
+    qn = queries.shape[0]
+    qpad = (-qn) % (_KQT * tile_multiple)
+    qp = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
+    tn = sorted_pts.shape[0]
+    tpad = (-tn) % 128 + _SEG
+    t_rows = jnp.pad(sorted_pts.astype(jnp.float32).T,
+                     ((0, 0), (0, tpad)), constant_values=_BIG)
+    return qp, t_rows
+
+
 def grid_knn_sorted(queries: jnp.ndarray, q_mask: jnp.ndarray,
                     sorted_pts: jnp.ndarray, cell_starts: jnp.ndarray,
                     origin: jnp.ndarray, dims: jnp.ndarray, h, k: int,
-                    interpret: bool | None = None
+                    interpret: bool | None = None,
+                    host_ranges=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k-NN of cell-sorted ``queries`` in the cell-sorted targets.
 
@@ -650,9 +667,13 @@ def grid_knn_sorted(queries: jnp.ndarray, q_mask: jnp.ndarray,
         interpret = not _on_tpu()
     qn = queries.shape[0]
     tn = sorted_pts.shape[0]
-    qp, ranges, t_rows, covered = tile_ranges3(
-        queries, q_mask, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB)
+    if host_ranges is not None:
+        ranges, covered = host_ranges
+        qp, t_rows = pad_query_target_rows(queries, sorted_pts, _TPB)
+    else:
+        qp, ranges, t_rows, covered = tile_ranges3(
+            queries, q_mask, sorted_pts, cell_starts, origin, dims, h,
+            tile_multiple=_TPB)
     idx, d2 = _knn3_padded(qp, ranges, t_rows, k, interpret=interpret)
     idx = idx[:qn]
     d = jnp.sqrt(jnp.maximum(d2[:qn], 0.0))

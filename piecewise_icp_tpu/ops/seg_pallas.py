@@ -227,7 +227,8 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
               cell_starts: jnp.ndarray, origin: jnp.ndarray,
               dims: jnp.ndarray, h: float, k: int,
               interpret: bool | None = None,
-              n_queries: int | None = None):
+              n_queries: int | None = None,
+              host_ranges=None):
     """Per-point neighbourhood statistics of the cell-sorted self-join.
 
     Returns (t2 [Q] — squared adjacency radius of the ~k nearest within
@@ -241,9 +242,16 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
     if interpret is None:
         interpret = not _on_tpu()
     queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
-    qp, ranges, t_rows, covered = tile_ranges3(
-        queries, qm, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB, exact_ranges=True)
+    if host_ranges is not None:
+        # host-precomputed exact ranges (grid_nn.ranges3_self_join_host):
+        # ~40 KB instead of shipping the multi-MB dense CSR to the device
+        ranges, covered = host_ranges
+        from .nn_pallas import pad_query_target_rows
+        qp, t_rows = pad_query_target_rows(queries, sorted_pts, _TPB)
+    else:
+        qp, ranges, t_rows, covered = tile_ranges3(
+            queries, qm, sorted_pts, cell_starts, origin, dims, h,
+            tile_multiple=_TPB, exact_ranges=True)
     stats = _seg_stats_padded(qp, ranges, t_rows, k, float(h) * float(h),
                               interpret=interpret)[:qn]
     cnt = jnp.maximum(stats[:, 0], 1.0)
@@ -425,7 +433,8 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
                      dims: jnp.ndarray, h: float, sv_resolution: float,
                      max_rounds: int = 256,
                      interpret: bool | None = None,
-                     n_queries: int | None = None
+                     n_queries: int | None = None,
+                     host_ranges=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run seeded metric label propagation to convergence, then the orphan
     sweep.  Returns (labels [Q] int32 in SORTED order, rounds).  With
@@ -435,9 +444,14 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
     if interpret is None:
         interpret = not _on_tpu()
     queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
-    qp, ranges, t_rows, _ = tile_ranges3(
-        queries, qm, sorted_pts, cell_starts, origin, dims, h,
-        tile_multiple=_TPB, exact_ranges=True)
+    if host_ranges is not None:
+        ranges, _covered = host_ranges
+        from .nn_pallas import pad_query_target_rows
+        qp, t_rows = pad_query_target_rows(queries, sorted_pts, _TPB)
+    else:
+        qp, ranges, t_rows, _ = tile_ranges3(
+            queries, qm, sorted_pts, cell_starts, origin, dims, h,
+            tile_multiple=_TPB, exact_ranges=True)
     npad = qp.shape[0] - qn
     nrm = jnp.pad(normals[:qn].astype(jnp.float32), ((0, npad), (0, 0)))
     r2p = jnp.pad(r2[:qn].astype(jnp.float32), (0, npad)).reshape(-1, 1)
@@ -445,15 +459,24 @@ def propagate_rounds(sorted_pts: jnp.ndarray, normals: jnp.ndarray,
         [qp, nrm, r2p, jnp.zeros((qp.shape[0], 1), jnp.float32)], axis=1)
 
     # the state array shares the slab offsets of t_rows AND backs the
-    # per-query own-label column, so its width must cover both
+    # per-query own-label column, so its width must cover both.  Padded
+    # seed slots (seed_idx == -1, from bucket-padding the seed count so
+    # epochs share one executable) scatter to a sink row past every real
+    # point; the sink's label is reset to -1 afterwards so they never
+    # propagate.  Real seed indices are < Tb < tp-1 by construction
+    # (t_rows carries >= _SEG rows of slack beyond the point bucket).
     tp = max(t_rows.shape[1], qp.shape[0])
+    sink = tp - 1
+    sidx = jnp.where(seed_idx >= 0, seed_idx, sink)
+    gidx = jnp.clip(sidx, 0, sorted_pts.shape[0] - 1)
     state = jnp.full((8, tp), -1.0, jnp.float32)
-    s_pts = sorted_pts[seed_idx]
-    s_nrm = normals[seed_idx]
-    state = state.at[0:3, seed_idx].set(s_pts.T.astype(jnp.float32))
-    state = state.at[3:6, seed_idx].set(s_nrm.T.astype(jnp.float32))
-    state = state.at[6, seed_idx].set(
+    s_pts = sorted_pts[gidx]
+    s_nrm = normals[gidx]
+    state = state.at[0:3, sidx].set(s_pts.T.astype(jnp.float32))
+    state = state.at[3:6, sidx].set(s_nrm.T.astype(jnp.float32))
+    state = state.at[6, sidx].set(
         jnp.arange(seed_idx.shape[0], dtype=jnp.float32))
+    state = state.at[:, sink].set(-1.0)
 
     labels, rounds = _propagate_all(
         qall, state, ranges, t_rows,

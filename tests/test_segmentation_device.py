@@ -114,6 +114,34 @@ class TestDeviceSegmentation:
                                    rtol=0.3, atol=5e-4)
 
 
+class TestFusedSegmentation:
+    def test_fused_matches_staged_partition(self, rng):
+        """The one-dispatch fused program (segmentation + patch stats)
+        must produce the SAME supervoxel partition and patch universe as
+        the staged device path it replaced (only f32 summation order
+        differs inside segment reductions)."""
+        from piecewise_icp_tpu.config import PiecewiseICPConfig
+        from piecewise_icp_tpu.models.segmentation_device import (
+            segment_patches_device)
+
+        pts = _surface_cloud(rng, n=3000)
+        res, svres, k = 0.02, 0.2, 12
+        cfg = PiecewiseICPConfig(knn_normals=k, min_patch_points=10)
+        lab_s, nsv_s = segment_cloud_device(pts, svres, k=k, resolution=res)
+        ps, nsv_f = segment_patches_device(pts, svres, k, res, cfg)
+        assert nsv_f == nsv_s
+        # partition equality on points belonging to valid patches: every
+        # fused patch maps to exactly one staged supervoxel and vice versa
+        sel = ps.labels >= 0
+        pairs = set(zip(ps.labels[sel].tolist(), lab_s[sel].tolist()))
+        assert len(pairs) == ps.num_patches
+        assert len({b for _, b in pairs}) == ps.num_patches
+        # patch statistics are finite and shaped consistently
+        assert ps.centroids.shape == (ps.num_patches, 3)
+        assert np.isfinite(ps.std_bp).all()
+        assert (ps.counts >= cfg.min_patch_points).all()
+
+
 class TestSegStatsKernel:
     def test_threshold_and_normals_vs_brute(self, rng):
         import jax.numpy as jnp
