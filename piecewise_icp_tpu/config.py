@@ -96,6 +96,13 @@ class PiecewiseICPConfig:
     backend: str = "auto"          # "auto" | "tpu" | "cpu"
     nn_impl: str = "auto"          # "auto" | "pallas" | "xla"
     segmentation_impl: str = "auto"  # "auto" | "native" | "jax"
+    # anchor the supervoxel seed lattice to the WORLD frame (multiples of
+    # the supervoxel size): campaign epochs — which differ by mm-scale
+    # motion — then decompose into nearly identical patch sets, so patch-
+    # sampling error cancels in the relative transform instead of entering
+    # it as noise.  (The reference's GridSample seeds are random and
+    # cannot do this.)  Off: per-cloud minimum anchor, like round 3.
+    seed_grid_align: bool = True
     point_pad_multiple: int = 2048   # static-shape bucket for point arrays
     patch_pad_multiple: int = 256    # static-shape bucket for patch arrays
 

@@ -54,7 +54,10 @@ def prepare_target(points1: np.ndarray, cfg: PiecewiseICPConfig,
     shift = -prep1.astype(np.float64).mean(axis=0)
     red1 = (prep1.astype(np.float64) + shift).astype(np.float32)
     sv1 = cfg.svsize1 if cfg.set_res_svsize else res1 * cfg.sv_size_res_mult
-    patches = build_patches(red1, sv1, cfg, resolution=res1)
+    # the reduction shift maps world -> this frame: anchoring the seed
+    # lattice through it keeps every epoch on ONE world voxelisation
+    patches = build_patches(red1, sv1, cfg, resolution=res1,
+                            lattice_shift=shift)
     return TargetState(shift=shift, reduced_points=red1, patches=patches,
                        resolution=res1)
 
@@ -135,7 +138,8 @@ def register_pair(points1: Optional[np.ndarray],
     with timer.phase("core"):
         core = piecewise_icp(red1, red2, res1, res2, cfg,
                              patches1=target_state.patches,
-                             patches2=patches2, mesh=mesh)
+                             patches2=patches2, mesh=mesh,
+                             lattice_shift=shift)
 
     # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
     s = translation_matrix(shift)

@@ -61,6 +61,12 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.POINTER(ctypes.c_int32)]
         lib.pwicp_supervoxel_propagate.restype = ctypes.c_int
+        lib.pwicp_supervoxel_propagate_o.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.pwicp_supervoxel_propagate_o.restype = ctypes.c_int
         lib.pwicp_pca_normals.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
@@ -132,12 +138,15 @@ def sor_mean_dist(points: np.ndarray, k: int,
 
 
 def supervoxel_propagate(points: np.ndarray, normals: np.ndarray,
-                         neighbors: np.ndarray, resolution: float
+                         neighbors: np.ndarray, resolution: float,
+                         seed_origin: np.ndarray | None = None
                          ) -> tuple[np.ndarray, int]:
     """Supervoxel segmentation by seeded metric label propagation — the
     framework's from-scratch parallel segmenter (see pwicp_host.cpp
     pwicp_supervoxel_propagate and DESIGN.md §2.1); covers the role of the
     reference's SupervoxelSegmentation (supervoxel_segmentation.h:66-248).
+    ``seed_origin`` anchors the seed lattice (cross-epoch patch
+    consistency; see segmentation_device.propagate_seeds).
     Returns (labels [N] int32, count)."""
     pts = np.ascontiguousarray(points, dtype=np.float32)
     nrm = np.ascontiguousarray(normals, dtype=np.float32)
@@ -145,8 +154,13 @@ def supervoxel_propagate(points: np.ndarray, normals: np.ndarray,
     n, k = nbr.shape
     assert pts.shape == (n, 3) and nrm.shape == (n, 3)
     labels = np.empty((n,), dtype=np.int32)
-    nsv = load().pwicp_supervoxel_propagate(
-        _c_f32(pts), _c_f32(nrm), _c_i32(nbr), n, k, resolution,
+    if seed_origin is None:
+        org = None
+    else:
+        org_arr = np.ascontiguousarray(seed_origin, dtype=np.float64)
+        org = org_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    nsv = load().pwicp_supervoxel_propagate_o(
+        _c_f32(pts), _c_f32(nrm), _c_i32(nbr), n, k, resolution, org,
         _c_i32(labels))
     if nsv < 0:
         raise RuntimeError("pwicp_supervoxel_propagate failed")

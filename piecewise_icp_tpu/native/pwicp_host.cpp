@@ -402,9 +402,10 @@ int pwicp_sor_mean_dist(const float* points, int n, int k, double cell_size,
 // refinement sweep), so no separate queue pass is needed.
 // ---------------------------------------------------------------------------
 
-int pwicp_supervoxel_propagate(const float* points, const float* normals,
-                               const int32_t* neighbors, int n, int k,
-                               double resolution, int32_t* out_labels) {
+int pwicp_supervoxel_propagate_o(const float* points, const float* normals,
+                                 const int32_t* neighbors, int n, int k,
+                                 double resolution, const double* origin,
+                                 int32_t* out_labels) {
     if (n <= 0 || k <= 0 || resolution <= 0) return -1;
     std::vector<Vec3> pts(n);
     for (int i = 0; i < n; ++i)
@@ -412,7 +413,10 @@ int pwicp_supervoxel_propagate(const float* points, const float* normals,
     VCCSMetric metric{pts.data(), normals, 0.4 / resolution};
     auto nb = [&](int i, int j) { return neighbors[(int64_t)i * k + j]; };
 
-    // --- seeds: per occupied voxel, the point nearest the voxel centre ---
+    // --- seeds: per occupied voxel, the point nearest the voxel centre.
+    //     `origin` (optional, must be <= cloud min) anchors the lattice so
+    //     campaign epochs share one world-frame voxelisation (see
+    //     models/segmentation_device.propagate_seeds) ---
     double mn[3] = {DBL_MAX, DBL_MAX, DBL_MAX};
     double mx[3] = {-DBL_MAX, -DBL_MAX, -DBL_MAX};
     for (int i = 0; i < n; ++i)
@@ -421,6 +425,8 @@ int pwicp_supervoxel_propagate(const float* points, const float* normals,
             mn[d] = std::min(mn[d], v);
             mx[d] = std::max(mx[d], v);
         }
+    if (origin)
+        for (int d = 0; d < 3; ++d) mn[d] = origin[d];
     int64_t dims[3];
     for (int d = 0; d < 3; ++d)
         dims[d] = static_cast<int64_t>((mx[d] - mn[d]) / resolution) + 1;
@@ -517,6 +523,13 @@ int pwicp_supervoxel_propagate(const float* points, const float* normals,
         out_labels[i] = remap[lab[i]];
     }
     return next;
+}
+
+int pwicp_supervoxel_propagate(const float* points, const float* normals,
+                               const int32_t* neighbors, int n, int k,
+                               double resolution, int32_t* out_labels) {
+    return pwicp_supervoxel_propagate_o(points, normals, neighbors, n, k,
+                                        resolution, nullptr, out_labels);
 }
 
 // ---------------------------------------------------------------------------

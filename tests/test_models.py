@@ -184,6 +184,55 @@ class TestPiecewiseICPCore:
         assert res.stable_ratio > 0.1
 
 
+class TestSeedLatticeAlignment:
+    def test_decomposition_immune_to_bbox_jitter(self, rng):
+        """With seed_grid_align, the supervoxel lattice is anchored to the
+        world frame, so a bounding-box change in one epoch (an extra
+        extremal point — outliers surviving SOR, growing deformation at
+        the scene edge) cannot re-phase the other epoch's decomposition.
+        Anchoring at the per-cloud minimum (round-3 behaviour) shifts the
+        lattice by the bbox delta and re-cuts every patch."""
+        import dataclasses as dc
+
+        cloud_a = terrain_cloud(rng, n_side=70)
+        # epoch B: the SAME points plus one extremal point that drags the
+        # bounding-box minimum by ~0.4 supervoxels
+        extra = np.array([[-0.088, -0.088, -0.05]], dtype=np.float32)
+        cloud_b = np.vstack([cloud_a, extra])
+        n = len(cloud_a)
+
+        def partition_agreement(cfg):
+            ps_a = build_patches(cloud_a, cfg.svsize1, cfg,
+                                 resolution=cfg.res1)
+            ps_b = build_patches(cloud_b, cfg.svsize1, cfg,
+                                 resolution=cfg.res1)
+            la, lb = ps_a.labels, ps_b.labels[:n]
+            sel = (la >= 0) & (lb >= 0)
+            # co-partition agreement: fraction of selected points whose
+            # patch's majority-mapped counterpart matches
+            pairs = {}
+            for a, b in zip(la[sel], lb[sel]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            best = {}
+            for (a, b), c in pairs.items():
+                if c > best.get(a, (0, -1))[0]:
+                    best[a] = (c, b)
+            agree = sum(c for (a, b), c in pairs.items()
+                        if best[a][1] == b) / max(sel.sum(), 1)
+            return agree
+
+        cfg = small_test_config()
+        agree_on = partition_agreement(dc.replace(cfg,
+                                                  seed_grid_align=True))
+        agree_off = partition_agreement(dc.replace(cfg,
+                                                   seed_grid_align=False))
+        # aligned lattice: the extra point cannot re-phase the lattice, so
+        # the shared points keep (essentially) their decomposition
+        assert agree_on > 0.95, f"aligned agreement only {agree_on:.2f}"
+        # per-min anchoring re-phases every cell by ~0.4 sv
+        assert agree_on > agree_off + 0.05
+
+
 class TestSymmetricVariant:
     """Regression guards for the symmetric point-to-plane variant.
 
