@@ -72,7 +72,14 @@ def kalman_smooth_transforms(trans_mats: Sequence[np.ndarray],
             inc_var = np.var(np.diff(z, axis=0), axis=0)
         else:
             inc_var = 4.0 * mean_r  # too short to estimate: track closely
-        q_diag = np.maximum(inc_var - 2.0 * mean_r, mean_r)
+        # Var(diff z) = Q + 2R: the excess over the measurement noise is
+        # the detected motion intensity.  When the excess vanishes the
+        # series is QUASI-STATIC — the motion signal sits below the noise
+        # — and Q shrinks to a small fraction of R so the smoother
+        # actually averages (steady-state var ~ sqrt(QR) ~ 0.14 R); a
+        # floor of mean_r here (the round-3 rule) capped the static-scene
+        # gain at ~1.6x for no benefit on moving scenes.
+        q_diag = np.maximum(inc_var - 2.0 * mean_r, 0.02 * mean_r)
         q = np.diag(q_diag)
     elif np.isscalar(process_noise):
         q = np.eye(6) * float(process_noise)
