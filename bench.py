@@ -62,10 +62,12 @@ def _measure_cache_hit_cold() -> float | None:
         "print('CACHE_COLD_S', time.perf_counter() - t0)\n")
     import time as _time
     try:
-        # 150 s covers any healthy cache-hit cold start (~30-60 s); a
-        # longer hang means the tunnel wedged — kill early and give the
-        # slot ~30 s to recover before THIS process initialises the TPU
-        out = subprocess.run([os.sys.executable, "-c", prog], timeout=150,
+        # 240 s covers any healthy cache-hit cold start (measured
+        # 51-84 s in round 4, with headroom for a degraded tunnel
+        # session); a longer hang means the tunnel wedged — kill early
+        # and give the slot ~30 s to recover before THIS process
+        # initialises the TPU
+        out = subprocess.run([os.sys.executable, "-c", prog], timeout=240,
                              capture_output=True, text=True)
         for line in out.stdout.splitlines():
             if line.startswith("CACHE_COLD_S"):

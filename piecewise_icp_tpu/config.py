@@ -79,6 +79,13 @@ class PiecewiseICPConfig:
     # first-order curvature bias of centroid correspondences and typically
     # tightens transforms beyond the reference's accuracy.  Opt-in.
     icp_variant: str = "reference"
+    # Inner-ICP row weighting: "uniform" = every stable correspondence
+    # counts equally (reference semantics, Registration.cpp:1300-1319);
+    # "inverse_variance" = Gauss-Markov weights 1/(sigmaCT1^2 + sigmaBP2^2)
+    # from the per-patch plane-fit STDs the pipeline already carries —
+    # noisy/large patches stop dominating the 6x6 normal equations.
+    # Opt-in beyond-reference accuracy option.
+    icp_weighting: str = "uniform"
 
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)

@@ -70,7 +70,9 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
                        fitness_eps: float = 1e-6,
                        source_normals: jnp.ndarray | None = None,
                        symmetric: bool = False,
-                       axis_name: str | None = None
+                       axis_name: str | None = None,
+                       target_var: jnp.ndarray | None = None,
+                       source_var: jnp.ndarray | None = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Iterative point-to-plane alignment of ``source`` onto ``target``.
 
@@ -114,6 +116,18 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
             tgt_n = 0.5 * (tgt_n + jnp.where(sign == 0, 1.0, sign) * src_n)
         a, l = _p2pl_rows(src, tgt_pt, tgt_n)
         w = source_mask.astype(f32)[:, None]
+        if target_var is not None and source_var is not None:
+            # Gauss-Markov row weights 1/(sigmaCT1^2 + sigmaBP2^2): the
+            # linearised solve becomes the weighted LSQ the per-patch
+            # plane-fit STDs justify (uniform weights are the reference
+            # semantics; this path is the opt-in icp_weighting option).
+            # Normalised by the mean weight so the Tikhonov epsilon and
+            # convergence thresholds keep their scale.
+            iv = 1.0 / jnp.maximum(target_var[idx] + source_var, 1e-14)
+            n_valid_w = jnp.maximum(jnp.sum(source_mask), 1).astype(f32)
+            iv_mean = (jnp.sum(jnp.where(source_mask, iv, 0.0))
+                       / n_valid_w)
+            w = w * jnp.sqrt(iv / jnp.maximum(iv_mean, 1e-30))[:, None]
         a = a * w
         l = l * w[:, 0]
         ata = psum(jnp.matmul(a.T, a, precision="highest"))

@@ -62,9 +62,24 @@ from .segmentation import PatchSet, build_patches
 _PCT_RESCUE = 49152
 
 
+def _bucket_size(n: int, base: int) -> int:
+    """Power-of-two-ish bucket (base * 2^k >= n).
+
+    Plain round-up-to-multiple padding gave every epoch of a campaign a
+    unique array shape — and each unique shape recompiles the fused
+    iteration step, ~20 s over the device tunnel, turning a 2 s pair
+    into a 23 s pair.  Power-of-two buckets land every epoch of a
+    campaign in ONE executable.
+    """
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
 def _pad(arr: np.ndarray, multiple: int, value=0.0) -> np.ndarray:
     n = arr.shape[0]
-    target = ((n + multiple - 1) // multiple) * multiple
+    target = _bucket_size(max(n, 1), multiple)
     if target == n:
         return arr
     pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
@@ -72,7 +87,7 @@ def _pad(arr: np.ndarray, multiple: int, value=0.0) -> np.ndarray:
 
 
 def _mask(n: int, multiple: int) -> np.ndarray:
-    target = ((n + multiple - 1) // multiple) * multiple
+    target = _bucket_size(max(n, 1), multiple)
     m = np.zeros(target, dtype=bool)
     m[:n] = True
     return m
@@ -110,7 +125,7 @@ class PairResult:
 
 @functools.partial(jax.jit,
                    static_argnames=("icp_max_iterations", "icp_variant",
-                                    "axis_name"))
+                                    "icp_weighting", "axis_name"))
 def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
                         ct2, bp2, std_bp2, ct2_mask,
                         curr_dt, dt_min, max_lod, sv_sum,
@@ -118,6 +133,7 @@ def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
                         icp_trans_eps: float = 1e-8,
                         icp_fitness_eps: float = 1e-6,
                         n2=None, icp_variant: str = "reference",
+                        icp_weighting: str = "uniform",
                         axis_name: str | None = None):
     """One fused classification + alignment step (device).
 
@@ -162,6 +178,8 @@ def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
     #     contiguous slice of the source rows; psum merges the normal
     #     equations inside point_to_plane_icp.
     src_ct, src_mask, src_n = ct2, stable, n2
+    src_var = (std_bp2 * std_bp2
+               if icp_weighting == "inverse_variance" else None)
     if axis_name is not None:
         n_dev = jax.lax.axis_size(axis_name)
         dev = jax.lax.axis_index(axis_name)
@@ -170,12 +188,17 @@ def _classify_and_align(ct1, n1, std_ct1, ct1_mask,
         src_mask = jax.lax.dynamic_slice_in_dim(stable, dev * rows, rows)
         if n2 is not None:
             src_n = jax.lax.dynamic_slice_in_dim(n2, dev * rows, rows)
+        if src_var is not None:
+            src_var = jax.lax.dynamic_slice_in_dim(src_var, dev * rows,
+                                                   rows)
     t_icp, icp_iters = point_to_plane_icp(
         ct1, n1, ct1_mask, src_ct, src_mask,
         max_iterations=icp_max_iterations,
         transformation_eps=icp_trans_eps, fitness_eps=icp_fitness_eps,
         source_normals=src_n, symmetric=(icp_variant == "symmetric"),
-        axis_name=axis_name)
+        axis_name=axis_name,
+        target_var=(std_ct1 * std_ct1 if src_var is not None else None),
+        source_var=src_var)
 
     return t_icp, stable, lod_min.astype(f32), n_stable, icp_iters
 
@@ -196,7 +219,8 @@ def _bb_change(cloud2, cloud2_mask, t_icp):
 
 @functools.partial(jax.jit,
                    static_argnames=("icp_max_iterations", "grid_max_run",
-                                    "icp_variant", "axis_name"))
+                                    "icp_variant", "icp_weighting",
+                                    "axis_name"))
 def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     ct2, n2, bp2, std_bp2, ct2_mask,
                     cloud2, cloud2_mask, labels2,
@@ -208,6 +232,7 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                     icp_trans_eps: float = 1e-8,
                     icp_fitness_eps: float = 1e-6,
                     icp_variant: str = "reference",
+                    icp_weighting: str = "uniform",
                     axis_name: str | None = None):
     """One COMPLETE Piecewise-ICP iteration as a single device program.
 
@@ -234,7 +259,8 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         curr_dt, dt_min, max_lod, sv_sum,
         icp_max_iterations=icp_max_iterations,
         icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps,
-        n2=n2, icp_variant=icp_variant, axis_name=axis_name)
+        n2=n2, icp_variant=icp_variant, icp_weighting=icp_weighting,
+        axis_name=axis_name)
 
     # bounding-box corner change (Registration.cpp:880-888).  The
     # reference reads the box from a pcl::octree with leaf 2*Res2
@@ -465,14 +491,14 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                 grid_max_run=step_max_run,
                 icp_trans_eps=cfg.icp_transformation_eps,
                 icp_fitness_eps=cfg.icp_fitness_eps,
-                icp_variant=variant)
+                icp_variant=variant, icp_weighting=cfg.icp_weighting)
         return functools.partial(
             _iteration_step,
             icp_max_iterations=cfg.icp_max_iterations,
             grid_max_run=step_max_run,
             icp_trans_eps=cfg.icp_transformation_eps,
             icp_fitness_eps=cfg.icp_fitness_eps,
-            icp_variant=variant)
+            icp_variant=variant, icp_weighting=cfg.icp_weighting)
 
     step_fn = _make_step("reference")
     step_fn_fine = (step_fn if cfg.icp_variant == "reference"

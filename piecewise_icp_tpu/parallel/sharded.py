@@ -80,7 +80,8 @@ def build_sharded_iteration(mesh: Mesh, axis: str = "sp",
                             grid_max_run: int = 32,
                             icp_trans_eps: float = 1e-8,
                             icp_fitness_eps: float = 1e-6,
-                            icp_variant: str = "reference"):
+                            icp_variant: str = "reference",
+                            icp_weighting: str = "uniform"):
     """Compile the fully sharded Piecewise-ICP iteration for ``mesh``.
 
     Returns a jitted function with the EXACT positional signature of
@@ -101,7 +102,8 @@ def build_sharded_iteration(mesh: Mesh, axis: str = "sp",
         _iteration_step,
         icp_max_iterations=icp_max_iterations, grid_max_run=grid_max_run,
         icp_trans_eps=icp_trans_eps, icp_fitness_eps=icp_fitness_eps,
-        icp_variant=icp_variant, axis_name=axis)
+        icp_variant=icp_variant, icp_weighting=icp_weighting,
+        axis_name=axis)
 
     sharded, repl = P(axis), P()
     step = shard_map(

@@ -261,6 +261,25 @@ class TestSymmetricVariant:
         # reference objective on a clean scene
         assert errs["symmetric"] < 2.0 * errs["reference"] + 2e-4
 
+    def test_inverse_variance_weighting_parity(self, rng):
+        """The Gauss-Markov row weighting must recover transforms at least
+        as well as uniform weights on a clean scene (opt-in option)."""
+        import dataclasses as dc
+
+        params = np.array([0.002, -0.0015, 0.0025, 0.004, -0.006, 0.005])
+        c1, c2, t_true = make_pair(rng, params)
+        errs = {}
+        for weighting in ("uniform", "inverse_variance"):
+            cfg = small_test_config(icp_weighting=weighting)
+            res = piecewise_icp(c1, c2, cfg.res1, cfg.res2, cfg)
+            m = res.trans_mat @ t_true
+            disp = np.linalg.norm(
+                apply_transform_np(c2.astype(np.float64), m)
+                - c2.astype(np.float64), axis=1)
+            errs[weighting] = disp.mean()
+        assert errs["inverse_variance"] < 2e-3
+        assert errs["inverse_variance"] < 1.5 * errs["uniform"] + 2e-4
+
     @pytest.mark.skipif(not os.path.exists(SYN_DATA),
                         reason="reference synthetic data not mounted")
     def test_symmetric_bench_pair_regression(self):
