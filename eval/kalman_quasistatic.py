@@ -46,10 +46,12 @@ def generate(workdir: str, epochs: int, noise: float = 5e-4) -> None:
                   pts.astype(np.float32))
     with open(os.path.join(workdir, "defined_transformations.txt"),
               "w") as f:
+        # reference layout (defined_transformations.txt): epoch number on
+        # its own line, then the 4x4 row-major matrix
         for k in range(epochs):
-            f.write(f"Epoch {k + 1}\n")
+            f.write(f"{k + 1}\n")
             for row in np.eye(4):
-                f.write(" ".join(f"{v:.12f}" for v in row) + "\n")
+                f.write(" ".join(f"{v:.10f}" for v in row) + " \n")
 
 
 def main() -> int:
@@ -93,6 +95,23 @@ def main() -> int:
         os.path.join(out_dir, "TransPara_AbsError.txt"))
     sm = formats.read_abs_errors(
         os.path.join(out_dir, "TransPara_AbsError_smoothed.txt"))
+
+    # every epoch registers onto the SAME noisy realisation of epoch 1,
+    # so all estimates share a common-mode error (the target's own
+    # patch-sampling bias) that no smoother can remove — split it off:
+    # the independent (per-epoch) component is what the RTS smoother is
+    # predicted to shrink by ~sqrt(N)
+    from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+    def signed(fname):
+        _, mats, _ = formats.read_trans_matrices(
+            os.path.join(out_dir, fname), args.epochs - 1)
+        return np.stack([matrix_to_params_gon(m) for m in mats])
+
+    z_raw = signed("TransMatrices_toRef.txt")        # truth = 0
+    z_sm = signed("TransMatrices_toRef_smoothed.txt")
+    std_raw = z_raw.std(axis=0)
+    std_sm = z_sm.std(axis=0)
     report = {
         "ok": bool(ok),
         "epochs": args.epochs,
@@ -104,6 +123,10 @@ def main() -> int:
                                      / max(sm[:, :3].mean(), 1e-12)), 2),
         "trans_reduction": round(float(raw[:, 3:].mean()
                                        / max(sm[:, 3:].mean(), 1e-12)), 2),
+        "common_mode_bias_rot_mgon": [
+            round(v * 1000, 3) for v in z_raw.mean(0)[:3]],
+        "independent_component_reduction": round(
+            float(std_raw.mean() / max(std_sm.mean(), 1e-15)), 2),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "kalman_quasistatic.json"), "w") as f:

@@ -104,12 +104,16 @@ class PiecewiseICPConfig:
     nn_impl: str = "auto"          # "auto" | "pallas" | "xla"
     segmentation_impl: str = "auto"  # "auto" | "native" | "jax"
     # anchor the supervoxel seed lattice to the WORLD frame (multiples of
-    # the supervoxel size): campaign epochs — which differ by mm-scale
-    # motion — then decompose into nearly identical patch sets, so patch-
-    # sampling error cancels in the relative transform instead of entering
-    # it as noise.  (The reference's GridSample seeds are random and
-    # cannot do this.)  Off: per-cloud minimum anchor, like round 3.
-    seed_grid_align: bool = True
+    # the supervoxel size): epochs then decompose into nearly identical
+    # patch sets, immune to bounding-box jitter (outliers, scene-edge
+    # deformation).  Default OFF: the round-4 A/B on the 20-epoch
+    # synthetic campaign measured ALIGNED decompositions WORSE on chained
+    # accuracy (mean rot [12.7, 8.9, 22.2] vs [10.8, 8.4, 16.0] mgon
+    # unaligned) — correlated patch-sampling error accumulates through
+    # the chain where independent per-epoch sampling partially averages
+    # out.  Opt-in where cross-epoch patch correspondence itself matters
+    # (e.g. per-patch deformation tracking).
+    seed_grid_align: bool = False
     point_pad_multiple: int = 2048   # static-shape bucket for point arrays
     patch_pad_multiple: int = 256    # static-shape bucket for patch arrays
 

@@ -226,11 +226,17 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
     reg_pairs: Optional[Dict[int, int]] = None
     pair_file = os.path.join(out_folder, "RegPairFile.txt")
     if pair_mode < 0:
-        with timer.phase("pair_planning"):
-            reg_pairs, _ = adaptive_pair_sequence(files[:epoch_num],
-                                                  start_epoch, cfg.dt_init,
-                                                  overlap_thd)
-        formats.write_reg_pairs(pair_file, reg_pairs)
+        if resume and os.path.exists(pair_file):
+            # the plan depends only on the input scans + DTinit/threshold,
+            # so a resumed (or re-registered) campaign reuses the durable
+            # plan instead of re-running the O(epochs) overlap search
+            reg_pairs = formats.read_reg_pairs(pair_file)
+        else:
+            with timer.phase("pair_planning"):
+                reg_pairs, _ = adaptive_pair_sequence(
+                    files[:epoch_num], start_epoch, cfg.dt_init,
+                    overlap_thd)
+            formats.write_reg_pairs(pair_file, reg_pairs)
 
     # ---- per-pair registrations (Registration.cpp:89-187) ----
     mode_name = _mode_name(pair_mode)
