@@ -299,7 +299,13 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
         bad = pt_stable & jnp.logical_not(resolved)
         n_bad = jnp.sum(bad)
         order = jnp.argsort(jnp.logical_not(bad), stable=True)
-        u = min(_PCT_RESCUE, cloud2.shape[0])   # shard may be smaller
+        # the rescue is sized for the TPU slab kernels' drift-broken
+        # tiles; the CPU XLA gather path is strict (dichotomy holds
+        # exactly) and a 49k-row always-on brute would cost seconds per
+        # iteration there — a small budget covers its rare stragglers
+        budget = (_PCT_RESCUE if jax.default_backend() == "tpu"
+                  else 1024)
+        u = min(budget, cloud2.shape[0])        # shard may be smaller
         up = -(-u // 512) * 512
         sel = order[:u]
         qsel = cloud2[sel]
