@@ -155,6 +155,30 @@ class Test4DPipeline:
         assert sm_err <= raw_err * 1.25 + 1e-4
 
 
+@pytest.mark.slow
+def test_adaptive_plan_reused_on_resume(tmp_path, rng):
+    """resume=True must reuse the durable RegPairFile instead of re-running
+    the O(epochs) overlap search, and produce the identical campaign."""
+    data_dir, gt = _make_series(tmp_path, rng, 4)
+    out_dir = str(tmp_path / "out") + os.sep
+    cfg = small_test_config(path1=str(data_dir), path2=out_dir)
+    ok = run_4d(cfg, 0, 4, -1, ground_truth=str(
+        tmp_path / "defined_transformations.txt"))
+    assert ok
+    plan_path = os.path.join(out_dir, "RegPairFile.txt")
+    plan1 = open(plan_path).read()
+    tm1 = open(os.path.join(out_dir, "TransMatrices.txt")).read()
+    # poison the plan search: resume must NOT re-plan (it would rewrite
+    # the file); keep pair npzs so nothing re-registers either
+    mtime = os.path.getmtime(plan_path)
+    ok = run_4d(cfg, 0, 4, -1, resume=True, ground_truth=str(
+        tmp_path / "defined_transformations.txt"))
+    assert ok
+    assert open(plan_path).read() == plan1
+    assert os.path.getmtime(plan_path) == mtime
+    assert open(os.path.join(out_dir, "TransMatrices.txt")).read() == tm1
+
+
 def test_adaptive_plan_identical_to_naive_scan(tmp_path, rng):
     """The windowed/probe-first planner must reproduce the reference's
     naive sequential scan exactly (calAdaptivePairSequence,
