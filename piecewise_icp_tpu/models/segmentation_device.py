@@ -207,34 +207,38 @@ def segment_patches_device(points: np.ndarray, sv_resolution: float,
         seeds = propagate_seeds(grid.points[:n], sv_resolution,
                                 origin=seed_origin)
         s_pad = _bucket(max(len(seeds), 1), base=256)
-        seeds_p = np.full(s_pad, -1, np.int32)
-        seeds_p[:len(seeds)] = seeds
-        # exact slab ranges on HOST (~40 KB upload); the dense CSR
-        # (cell_starts, 10-16 MB at h~2 cm) never reaches the device
-        from ..ops.grid_nn import ranges3_self_join_host
-        from ..ops.seg_pallas import _QBUCKET, _TPB
+        # slab-padded self-join: exact single-slab tile ranges on HOST
+        # (~40 KB upload, no dense CSR on device), NO wrap-tile coverage
+        # loss and NO truncated neighbourhood windows (the round-3/4
+        # quality caveat), and state rows stay aligned with query rows
+        # for the propagation kernel
+        from ..ops.grid_nn import slab_padded_self_join
+        from ..ops.seg_pallas import _TPB
+        from ..ops.nn_pallas import _KQT
 
-        qb = min(grid.points.shape[0], -(-n // _QBUCKET) * _QBUCKET)
-        ranges, covered = ranges3_self_join_host(grid, qb,
-                                                 tile_multiple=_TPB)
+        sp = slab_padded_self_join(grid, lane=_KQT,
+                                   block=_KQT * _TPB, tile_multiple=_TPB)
+        seeds_p = np.full(s_pad, -1, np.int32)
+        seeds_p[:len(seeds)] = sp.pos_map[seeds]
         (lab_sorted, valid, trim, ct, bp, nrm, std_bp, std_ct,
          cnt) = jax.device_get(_seg_patches_fused(
-            jnp.asarray(grid.points),
-            jnp.arange(grid.points.shape[0]) < n,
+            jnp.asarray(sp.points), jnp.asarray(sp.real_mask),
             jnp.zeros((1,), jnp.int32), jnp.asarray(grid.origin),
             jnp.asarray(grid.dims, jnp.int32), jnp.asarray(seeds_p),
-            jnp.asarray(ranges), jnp.asarray(covered),
-            k=k, h=h, sv_resolution=float(sv_resolution), n_queries=n,
+            jnp.asarray(sp.ranges), jnp.asarray(sp.covered),
+            k=k, h=h, sv_resolution=float(sv_resolution),
+            n_queries=None,
             s_pad=s_pad, min_pts=cfg.min_patch_points,
             trim_sigma=cfg.patch_trim_sigma,
             max_variation=cfg.max_variation,
             min_planarity=cfg.min_planarity, interpret=interpret))
 
     # host post-processing (original order, first-occurrence compaction)
+    real = sp.real_mask
     labels_orig = np.empty(n, dtype=np.int32)
-    labels_orig[grid.ids[:n]] = lab_sorted[:n]
+    labels_orig[sp.orig_idx[real]] = lab_sorted[:len(real)][real]
     trim_orig = np.zeros(n, dtype=bool)
-    trim_orig[grid.ids[:n]] = trim[:n]
+    trim_orig[sp.orig_idx[real]] = trim[:len(real)][real]
     valid_pts = labels_orig >= 0
     uniq, first_idx = np.unique(labels_orig[valid_pts], return_index=True)
     # supervoxel count for parity with the host twin's log: used seeds +
@@ -276,29 +280,38 @@ def segment_cloud_device(points: np.ndarray, sv_resolution: float,
     # neighbourhoods are radius-capped at the 27-cell window (see
     # ops/seg_pallas module docstring for the exactness contract)
     h = float(max(1.2 * np.sqrt(k / np.pi), 3.0) * resolution)
+    from ..ops.grid_nn import slab_padded_self_join
+    from ..ops.nn_pallas import _KQT
+    from ..ops.seg_pallas import _TPB
+
     with gphase("seg.knn_graph"):
         grid = build_grid(pts, h)
-        sorted_pts = jnp.asarray(grid.points)
-        q_mask = jnp.arange(sorted_pts.shape[0]) < n
-        starts = jnp.asarray(grid.cell_starts)
+        sp = slab_padded_self_join(grid, lane=_KQT,
+                                   block=_KQT * _TPB, tile_multiple=_TPB)
+        sorted_pts = jnp.asarray(sp.points)
+        q_mask = jnp.asarray(sp.real_mask)
+        starts = jnp.zeros((1,), jnp.int32)
         origin = jnp.asarray(grid.origin)
         dims = jnp.asarray(grid.dims, jnp.int32)
+        hr = (jnp.asarray(sp.ranges), jnp.asarray(sp.covered))
         t2, cnt, normals, covered = seg_stats(
-            sorted_pts, q_mask, starts, origin, dims, h, k, n_queries=n)
+            sorted_pts, q_mask, starts, origin, dims, h, k,
+            host_ranges=hr)
         jax.block_until_ready(t2)
     with gphase("seg.supervoxel"):
         seeds = propagate_seeds(grid.points[:n], sv_resolution,
                                 origin=seed_origin)
         lab_sorted, rounds = propagate_rounds(
-            sorted_pts, normals, t2, q_mask, jnp.asarray(seeds),
+            sorted_pts, normals, t2, q_mask,
+            jnp.asarray(sp.pos_map[seeds]),
             starts, origin, dims, h, sv_resolution,
-            max_rounds=_MAX_ROUNDS, n_queries=n)
+            max_rounds=_MAX_ROUNDS, host_ranges=hr)
         jax.block_until_ready(lab_sorted)
 
     # back to original order + first-occurrence compaction (host, O(N))
-    lab_sorted = np.asarray(lab_sorted)[:n]
+    lab_sorted = np.asarray(lab_sorted)
     labels = np.empty(n, dtype=np.int32)
-    labels[grid.ids[:n]] = lab_sorted
+    labels[sp.orig_idx[sp.real_mask]] = lab_sorted[sp.real_mask]
     valid = labels >= 0
     uniq, first_idx = np.unique(labels[valid], return_index=True)
     pos_orig = np.flatnonzero(valid)[first_idx]

@@ -142,41 +142,6 @@ def build_grid(targets: np.ndarray, h: float,
                      max_run=_bucket(max(max_run, 1)), n_real=n_real)
 
 
-def slab_aligned_order(grid: GridIndex, lane: int = 128,
-                       block: int = 4096) -> np.ndarray:
-    """Query order for a self-join such that every ``lane``-row tile draws
-    from ONE x-slab: each slab's run of sorted rows is padded to a lane
-    multiple with -1 sentinels (total padded to a ``block`` multiple).
-
-    The three-range slab scheme assumes single-slab tiles; without this,
-    every tile straddling an x-slab boundary (~1 in 11) unions the
-    y-extremes of two slabs, blows its window past ``_SEG`` and drops its
-    128 queries to the (expensive) exact rescue.  Cost: ~4% more query
-    rows, all masked.
-    """
-    n = grid.n_real
-    pts = grid.points[:n].astype(np.float64)
-    cx = np.floor((pts[:, 0] - float(grid.origin[0])) / grid.h
-                  ).astype(np.int64)
-    cx = np.clip(cx, 0, grid.dims[0] - 1)
-    # rows are x-major sorted: slab runs are contiguous
-    starts = np.flatnonzero(np.diff(cx)) + 1
-    bounds = np.concatenate([[0], starts, [n]])
-    chunks = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        run = np.arange(a, b, dtype=np.int64)
-        pad = (-len(run)) % lane
-        if pad:
-            run = np.concatenate([run, np.full(pad, -1, np.int64)])
-        chunks.append(run)
-    order = (np.concatenate(chunks) if chunks
-             else np.zeros(0, np.int64))
-    pad = (-len(order)) % block
-    if pad:
-        order = np.concatenate([order, np.full(pad, -1, np.int64)])
-    return order.astype(np.int32)
-
-
 def ranges3_host(grid: GridIndex, pts_q: np.ndarray, q_eff: np.ndarray,
                  tile_multiple: int = 32):
     """Host twin of ``nn_pallas.tile_ranges3(exact_ranges=True)`` for an
@@ -253,6 +218,132 @@ def ranges3_self_join_host(grid: GridIndex, qb: int,
     pts_q = grid.points[:qb]
     q_eff = np.arange(qb) < min(grid.n_real, qb)
     return ranges3_host(grid, pts_q, q_eff, tile_multiple)
+
+
+@dataclasses.dataclass
+class SlabPaddedSelfJoin:
+    """Self-join geometry with padding rows INSERTED between x-slabs.
+
+    Queries == targets == ``points`` (padded order).  Properties:
+
+    * every ``lane``-row tile draws from ONE x-slab, so per-tile
+      three-range windows stay tight — no wrap-tile coverage loss AND no
+      truncated neighbourhoods (the quality caveat of the round-3/4
+      segmentation path);
+    * any within-slab contiguous range of the original sorted order maps
+      to a contiguous range here shifted by a per-slab constant, so the
+      exact slab ranges are computed directly in padded coordinates and
+      per-query state arrays stay aligned with target rows (the
+      propagation kernel's requirement);
+    * ``ranges`` never touch ``cell_starts`` on the device.
+    """
+
+    points: np.ndarray      # [M, 3] f32, 1e30 on padding rows
+    real_mask: np.ndarray   # [M] bool
+    orig_idx: np.ndarray    # [M] int32 — original point index, -1 padding
+    pos_map: np.ndarray     # [n_real] int32 — sorted row -> padded row
+    ranges: np.ndarray      # [n_tiles * 9] int32 (padded coordinates)
+    covered: np.ndarray     # [n_tiles] bool
+
+
+def slab_padded_self_join(grid: GridIndex, lane: int = 128,
+                          block: int = 4096,
+                          tile_multiple: int = 32) -> SlabPaddedSelfJoin:
+    from .nn_pallas import _KQT, _SEG
+
+    n = grid.n_real
+    pts = grid.points[:n].astype(np.float64)
+    dx, dy, dz = grid.dims
+    h = grid.h
+    origin = grid.origin.astype(np.float64)
+    starts = grid.cell_starts
+    n_cells = min(dx * dy * dz, len(starts) - 1)
+
+    cell = np.floor((pts - origin) / h).astype(np.int64)
+    cx = np.clip(cell[:, 0], 0, dx - 1)
+    # rows are x-major sorted: slab runs are contiguous
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(cx)) + 1, [n]])
+    slab_x = cx[bounds[:-1]]                      # x value of each run
+    run_len = np.diff(bounds)
+    padded_len = -(-run_len // lane) * lane
+    pad_before = np.concatenate([[0], np.cumsum(padded_len - run_len)])
+    m = int(bounds[-1] + pad_before[-1])
+    m_total = -(-m // block) * block
+
+    pos_map = np.empty(n, dtype=np.int64)
+    for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+        pos_map[a:b] = np.arange(a, b) + pad_before[i]
+    orig_idx = np.full(m_total, -1, dtype=np.int32)
+    orig_idx[pos_map] = grid.ids[:n]
+    real_mask = np.zeros(m_total, dtype=bool)
+    real_mask[pos_map] = True
+    pts_padded = np.full((m_total, 3), 1e30, dtype=np.float32)
+    pts_padded[pos_map] = grid.points[:n]
+
+    # per-slab shift of any within-slab range: cumulative padding before
+    # that slab (slabs may be absent for some x — map x -> shift)
+    shift_of_x = np.zeros(dx + 1, dtype=np.int64)
+    shift_of_x[slab_x] = pad_before[:-1]
+    # absent slabs are empty ranges; give them the shift of the previous
+    # present slab so lo==hi stays consistent
+    present = np.zeros(dx + 1, dtype=bool)
+    present[slab_x] = True
+    for i in range(1, dx + 1):
+        if not present[i]:
+            shift_of_x[i] = shift_of_x[i - 1]
+
+    cy = np.clip(cell[:, 1], 0, dy - 1)
+    cz = np.clip(cell[:, 2], 0, dz - 1)
+    y0 = np.clip(cy - 1, 0, dy - 1)
+    y1 = np.clip(cy + 1, 0, dy - 1)
+    z0 = np.clip(cz - 1, 0, dz - 1)
+    z1 = np.clip(cz + 1, 0, dz - 1)
+    # per-query windows in ORIGINAL coordinates + per-slab shift, scattered
+    # to padded rows
+    qpad_tiles = m_total // _KQT
+    if qpad_tiles % tile_multiple:
+        m_total2 = (-(-qpad_tiles // tile_multiple) * tile_multiple) * _KQT
+        pts_padded = np.vstack([pts_padded, np.full(
+            (m_total2 - m_total, 3), 1e30, np.float32)])
+        orig_idx = np.concatenate([orig_idx, np.full(
+            m_total2 - m_total, -1, np.int32)])
+        real_mask = np.concatenate([real_mask, np.zeros(
+            m_total2 - m_total, bool)])
+        m_total = m_total2
+    n_tiles = m_total // _KQT
+
+    lo_t = np.full((n_tiles, 3), 2**30, dtype=np.int64)
+    hi_t = np.zeros((n_tiles, 3), dtype=np.int64)
+    for ri, r in enumerate((-1, 0, 1)):
+        x = np.clip(cx + r, 0, dx - 1)
+        lo_col = (x * dy + y0) * dz + z0
+        hi_col = (x * dy + y1) * dz + z1
+        lo_q = starts[np.clip(lo_col, 0, n_cells)].astype(np.int64) \
+            + shift_of_x[x]
+        hi_q = starts[np.clip(hi_col + 1, 0, n_cells)].astype(np.int64) \
+            + shift_of_x[x]
+        tile_of_q = pos_map // _KQT
+        np.minimum.at(lo_t[:, ri], tile_of_q, lo_q)
+        np.maximum.at(hi_t[:, ri], tile_of_q, hi_q)
+    empty = lo_t >= 2**30
+    lo_t = np.where(empty, 0, lo_t)
+    hi_t = np.where(empty, 0, hi_t)
+    hi_t = np.maximum(hi_t, lo_t)
+    # monotone clamp (disjoint ranges), as tile_ranges3
+    lo_t[:, 1] = np.maximum(lo_t[:, 1], hi_t[:, 0])
+    hi_t[:, 1] = np.maximum(hi_t[:, 1], lo_t[:, 1])
+    lo_t[:, 2] = np.maximum(lo_t[:, 2], hi_t[:, 1])
+    hi_t[:, 2] = np.maximum(hi_t[:, 2], lo_t[:, 2])
+
+    tp = m_total + (-m_total) % 128 + _SEG
+    lo_al = np.clip((lo_t // 128) * 128, 0, tp - _SEG).astype(np.int64)
+    covered = np.all(hi_t - lo_al <= _SEG, axis=1)
+    ranges = np.concatenate(
+        [lo_al, lo_t, hi_t], axis=1).astype(np.int32).reshape(-1)
+    return SlabPaddedSelfJoin(points=pts_padded, real_mask=real_mask,
+                              orig_idx=orig_idx,
+                              pos_map=pos_map.astype(np.int32),
+                              ranges=ranges, covered=covered)
 
 
 def grid_query_1nn(queries, q_mask, sorted_pts, cell_starts, origin,

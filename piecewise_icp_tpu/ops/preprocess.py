@@ -83,7 +83,7 @@ def sor_filter_mask(points: jnp.ndarray, mask: jnp.ndarray | None,
 
 # Unresolved queries re-measured exactly in-program — genuinely sparse
 # points (the outliers SOR exists to find).  The slab-aligned query
-# order (grid_nn.slab_aligned_order) guarantees single-slab tiles, so
+# (grid_nn.slab_padded_self_join) guarantees single-slab tiles, so
 # tile-coverage failures cannot land here; the k+1-round min-extraction
 # rescue re-reads its d^2 buffer ~45 times, so the budget must stay
 # small (16k cost ~0.6 s of HBM traffic; 4k costs ~0.1 s).
@@ -189,7 +189,7 @@ def sor_keep_mask_device(down: np.ndarray, resolution: float,
     extents).  Statistic matches ``native.sor_mean_dist`` (see
     ``_sor_mask_sorted``)."""
     from ..utils.logging import gphase, log
-    from .grid_nn import build_grid, ranges3_host, slab_aligned_order
+    from .grid_nn import build_grid, slab_padded_self_join
     from .nn_pallas import _KQT, _TPB
 
     # h = 4 x resolution: the (k+1)-th neighbour of any inlier sits at
@@ -204,33 +204,29 @@ def sor_keep_mask_device(down: np.ndarray, resolution: float,
         except ValueError:
             return None
         n_real = grid.n_real
-        # slab-aligned query order: every _KQT-tile draws from ONE
-        # x-slab, so no tile can union two slabs' y-extremes and lose
-        # coverage (which would dump its queries on the expensive exact
-        # rescue); padding rows are -1 sentinels
-        order = slab_aligned_order(grid, lane=_KQT, block=_KQT * _TPB)
-        q_eff = order >= 0
-        pts_q = grid.points[np.clip(order, 0, None)]
-        ranges, covered = ranges3_host(grid, pts_q, q_eff,
-                                       tile_multiple=_TPB)
+        # slab-padded self-join: every _KQT-tile draws from ONE x-slab,
+        # so no tile can union two slabs' y-extremes, lose coverage and
+        # dump its queries on the expensive exact rescue
+        sp = slab_padded_self_join(grid, lane=_KQT,
+                                   block=_KQT * _TPB, tile_multiple=_TPB)
     with gphase("prep.sor.device"):
         keep_q, n_bad = _sor_mask_sorted(
-            jnp.asarray(pts_q), jnp.asarray(q_eff),
-            jnp.asarray(grid.points),
+            jnp.asarray(sp.points), jnp.asarray(sp.real_mask),
+            jnp.asarray(sp.points),
             jnp.zeros((1,), jnp.int32), jnp.asarray(grid.origin),
             jnp.asarray(grid.dims, jnp.int32),
             jnp.asarray(grid.h, jnp.float32), sor_k,
             jnp.asarray(sor_mult, jnp.float32), interpret=interpret,
-            ranges=jnp.asarray(ranges), covered=jnp.asarray(covered))
+            ranges=jnp.asarray(sp.ranges), covered=jnp.asarray(sp.covered))
         keep_q, n_bad = np.asarray(keep_q), int(n_bad)
-    if n_bad > min(_SOR_RESCUE, len(order)):
+    if n_bad > min(_SOR_RESCUE, len(sp.real_mask)):
         # more unresolved queries than the in-program rescue covers —
         # exactness no longer guaranteed, let the native path decide
         log.info("device SOR: %d unresolved > budget; native fallback",
                  n_bad)
         return None
     keep = np.empty(n_real, dtype=bool)
-    keep[grid.ids[order[q_eff]]] = keep_q[q_eff]
+    keep[sp.orig_idx[sp.real_mask]] = keep_q[sp.real_mask]
     return keep
 
 
