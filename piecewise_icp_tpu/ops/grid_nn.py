@@ -142,84 +142,6 @@ def build_grid(targets: np.ndarray, h: float,
                      max_run=_bucket(max(max_run, 1)), n_real=n_real)
 
 
-def ranges3_host(grid: GridIndex, pts_q: np.ndarray, q_eff: np.ndarray,
-                 tile_multiple: int = 32):
-    """Host twin of ``nn_pallas.tile_ranges3(exact_ranges=True)`` for an
-    arbitrary host-known query set over ``grid``.
-
-    The device formulation gathers 6 ``cell_starts`` entries per query,
-    which forces the multi-MB dense CSR array onto the device — 10-16 MB
-    per cloud over the tunnel, dwarfing the kernels it feeds.  When the
-    queries are known at build time the exact per-tile three-range slab
-    geometry collapses to ~40 KB of host numpy: (ranges [n_tiles*9]
-    int32 flat-packed (lo_aligned[3], lo[3], hi[3]), covered [n_tiles]
-    bool).  Bit-identical to the device computation.
-    """
-    from .nn_pallas import _KQT, _SEG
-
-    qb = pts_q.shape[0]
-    dx, dy, dz = grid.dims
-    starts = grid.cell_starts
-    n_cells = min(dx * dy * dz, len(starts) - 1)
-    h = grid.h
-    origin = grid.origin.astype(np.float64)
-
-    pts = np.where(q_eff[:, None], pts_q.astype(np.float64),
-                   origin)                       # keep the cast finite
-    cell = np.floor((pts - origin) / h).astype(np.int64)
-    cx = np.clip(cell[:, 0], 0, dx - 1)
-    cy = np.clip(cell[:, 1], 0, dy - 1)
-    cz = np.clip(cell[:, 2], 0, dz - 1)
-    y0 = np.clip(cy - 1, 0, dy - 1)
-    y1 = np.clip(cy + 1, 0, dy - 1)
-    z0 = np.clip(cz - 1, 0, dz - 1)
-    z1 = np.clip(cz + 1, 0, dz - 1)
-
-    qpad = (-qb) % (_KQT * tile_multiple)
-    n_tiles = (qb + qpad) // _KQT
-    lo_t, hi_t = [], []
-    for r in (-1, 0, 1):
-        x = np.clip(cx + r, 0, dx - 1)
-        lo_col = (x * dy + y0) * dz + z0
-        hi_col = (x * dy + y1) * dz + z1
-        lo_q = starts[np.clip(lo_col, 0, n_cells)].astype(np.int64)
-        hi_q = starts[np.clip(hi_col + 1, 0, n_cells)].astype(np.int64)
-        lo_q = np.where(q_eff, lo_q, 2**30)
-        hi_q = np.where(q_eff, hi_q, 0)
-        lo_r = np.pad(lo_q, (0, qpad), constant_values=2**30)
-        hi_r = np.pad(hi_q, (0, qpad))
-        lo_t.append(lo_r.reshape(n_tiles, _KQT).min(axis=1))
-        hi_t.append(hi_r.reshape(n_tiles, _KQT).max(axis=1))
-    lo_t = np.stack(lo_t, axis=1)
-    hi_t = np.stack(hi_t, axis=1)
-    empty = lo_t >= 2**30
-    lo_t = np.where(empty, 0, lo_t)
-    hi_t = np.where(empty, 0, hi_t)
-    hi_t = np.maximum(hi_t, lo_t)
-    # monotone clamp: identical to tile_ranges3
-    lo_t[:, 1] = np.maximum(lo_t[:, 1], hi_t[:, 0])
-    hi_t[:, 1] = np.maximum(hi_t[:, 1], lo_t[:, 1])
-    lo_t[:, 2] = np.maximum(lo_t[:, 2], hi_t[:, 1])
-    hi_t[:, 2] = np.maximum(hi_t[:, 2], lo_t[:, 2])
-
-    tn = grid.points.shape[0]
-    tp = tn + (-tn) % 128 + _SEG
-    lo_al = np.clip((lo_t // 128) * 128, 0, tp - _SEG).astype(np.int64)
-    covered = np.all(hi_t - lo_al <= _SEG, axis=1)
-    ranges = np.concatenate(
-        [lo_al, lo_t, hi_t], axis=1).astype(np.int32).reshape(-1)
-    return ranges, covered
-
-
-def ranges3_self_join_host(grid: GridIndex, qb: int,
-                           tile_multiple: int = 32):
-    """Exact three-range slab geometry for the plain self-join (queries =
-    the grid's first ``qb`` sorted rows; padding rows masked)."""
-    pts_q = grid.points[:qb]
-    q_eff = np.arange(qb) < min(grid.n_real, qb)
-    return ranges3_host(grid, pts_q, q_eff, tile_multiple)
-
-
 @dataclasses.dataclass
 class SlabPaddedSelfJoin:
     """Self-join geometry with padding rows INSERTED between x-slabs.

@@ -635,7 +635,7 @@ def pad_query_target_rows(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
                           tile_multiple: int = 1):
     """The (qp, t_rows) padding of :func:`tile_ranges3`, standalone — for
     callers that bring HOST-precomputed ranges (grid_nn.
-    ranges3_self_join_host) and skip the device range pass entirely."""
+    slab_padded_self_join) and skip the device range pass entirely."""
     qn = queries.shape[0]
     qpad = (-qn) % (_KQT * tile_multiple)
     qp = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))

@@ -243,7 +243,7 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
         interpret = not _on_tpu()
     queries, qm, qn = _query_prefix(sorted_pts, q_mask, n_queries)
     if host_ranges is not None:
-        # host-precomputed exact ranges (grid_nn.ranges3_self_join_host):
+        # host-precomputed exact ranges (grid_nn.slab_padded_self_join):
         # ~40 KB instead of shipping the multi-MB dense CSR to the device
         ranges, covered = host_ranges
         from .nn_pallas import pad_query_target_rows
