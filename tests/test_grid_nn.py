@@ -133,3 +133,47 @@ class TestGridPercentile:
         _, d = _brute(s[:400], t)
         ref = np.sort(d)[int(400 * 0.5)]
         assert abs(p - ref) < 1e-5
+
+
+class TestSlabPaddedSelfJoin:
+    def test_exact_knn_full_windows(self, rng):
+        """The slab-padded self-join must deliver EXACT kNN for every
+        real point whose k-th neighbour lies within h — across many
+        x-slabs, with no wrap tiles and no truncated windows (the
+        round-3/4 segmentation quality caveat)."""
+        import jax.numpy as jnp
+
+        from piecewise_icp_tpu.ops.grid_nn import (build_grid,
+                                                   slab_padded_self_join)
+        from piecewise_icp_tpu.ops.nn_pallas import (_KQT, _TPB,
+                                                     grid_knn_sorted)
+
+        pts = (rng.uniform(size=(3000, 2)) * np.array([2.0, 1.0]))
+        z = 0.1 * np.sin(pts[:, 0] * 4)
+        pts = np.column_stack([pts, z]).astype(np.float32)
+        k, h = 8, 0.12
+        grid = build_grid(pts, h)
+        sp = slab_padded_self_join(grid, lane=_KQT, block=_KQT * _TPB,
+                                   tile_multiple=_TPB)
+        assert sp.covered.all()
+        # every real point appears exactly once
+        real = sp.real_mask
+        assert real.sum() == grid.n_real
+        assert len(np.unique(sp.orig_idx[real])) == grid.n_real
+        _, d, resolved = grid_knn_sorted(
+            jnp.asarray(sp.points), jnp.asarray(real),
+            jnp.asarray(sp.points), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(grid.origin), jnp.asarray(grid.dims, jnp.int32),
+            jnp.asarray(grid.h, jnp.float32), k, interpret=True,
+            host_ranges=(jnp.asarray(sp.ranges), jnp.asarray(sp.covered)))
+        d = np.asarray(d)[real]
+        idx_orig = sp.orig_idx[real]
+        # exact reference kNN distances
+        d2 = ((pts[:, None, :].astype(np.float64)
+               - pts[None, :, :].astype(np.float64)) ** 2).sum(-1)
+        ref_d = np.sqrt(np.sort(d2, axis=1)[:, :k])
+        res = np.asarray(resolved)[real]
+        kth_in = ref_d[idx_orig, -1] <= h
+        assert res[kth_in].all()          # full window => resolved
+        np.testing.assert_allclose(d[kth_in], ref_d[idx_orig][kth_in],
+                                   rtol=1e-4, atol=1e-6)
