@@ -238,9 +238,10 @@ def main() -> int:
     grid_bytes = n_tiles * _RMAX * 12.0          # 3 f32 rows per slab
     grid_ops = 8.0 * n * _RMAX
     sol_grid_ms = 1e3 * max(grid_bytes / HBM_BPS, grid_ops / VPU_OPS)
-    # three-range kernel: 3*_SEG candidate lanes per _KQT-query tile
+    # three-range self-join kernel: 3*_SEG candidate lanes per
+    # _KQT-query tile, 32 B/lane packed-coordinate DMA
     g3_tiles = -(-n // _KQT)
-    g3_bytes = g3_tiles * 3 * _SEG * 12.0
+    g3_bytes = g3_tiles * 3 * _SEG * 32.0
     g3_ops = 8.0 * n * 3 * _SEG
     sol_grid3_ms = 1e3 * max(g3_bytes / HBM_BPS, g3_ops / VPU_OPS)
 
@@ -269,9 +270,25 @@ def main() -> int:
         dj, qmask, *g_args, grid.max_run, g_h)[1])
     t_grid_slab1 = t_chained(
         lambda q: grid_range_query(q, qmask, *g_args, g_h)[1], dj)
-    t_grid_pallas = t_chained(
-        lambda q: grid_query_1nn(q, qmask, *g_args, grid.max_run, g_h)[1],
-        dj_sorted, iters=8)
+    # production self-join configuration: slab-padded order + host-exact
+    # single-slab tile ranges (what segmentation/SOR actually run)
+    from piecewise_icp_tpu.ops.grid_nn import slab_padded_self_join
+    from piecewise_icp_tpu.ops.nn_pallas import _TPB as _TPB_
+
+    sp = slab_padded_self_join(grid, lane=_KQT, block=_KQT * _TPB_,
+                               tile_multiple=_TPB_)
+    sp_pts = jnp.asarray(sp.points)
+    sp_mask = jnp.asarray(sp.real_mask)
+    sp_hr = (jnp.asarray(sp.ranges), jnp.asarray(sp.covered))
+    zero_starts = jnp.zeros((1,), jnp.int32)
+
+    def self_join_1nn(q):
+        from piecewise_icp_tpu.ops.nn_pallas import grid_knn_sorted
+        _, d, _ = grid_knn_sorted(q, sp_mask, sp_pts, zero_starts,
+                                  g_args[2], g_args[3], g_h, 2,
+                                  host_ranges=sp_hr)
+        return d[:, 1]                    # nearest non-self
+    t_grid_pallas = t_chained(self_join_1nn, sp_pts, iters=8)
     t_grid_prod = t_kernel(lambda: f_grid_prod(dj_sorted))
 
     nn_bench = {
@@ -281,7 +298,7 @@ def main() -> int:
         "pallas_brute_ms": round(1e3 * t_pallas_brute, 1),
         "grid_xla_gather_ms": round(1e3 * t_grid_xla, 1),
         "grid_pallas_slab_ms": round(1e3 * t_grid_slab1, 2),
-        "grid_pallas_ranges3_ms": round(1e3 * t_grid_pallas, 3),
+        "grid_pallas_selfjoin_ms": round(1e3 * t_grid_pallas, 3),
         "grid_production_exact_ms": round(1e3 * t_grid_prod, 2),
         "roofline": {
             "model": "v5e 1-core: VPU 3.9e12 f32op/s, HBM 819 GB/s",
@@ -289,7 +306,7 @@ def main() -> int:
             "brute_pallas_pct_of_sol": round(
                 100 * sol_brute_ms / (1e3 * t_pallas_brute), 1),
             "grid_slab1_sol_ms": round(sol_grid_ms, 2),
-            "grid_ranges3_sol_ms": round(sol_grid3_ms, 2),
+            "grid_selfjoin_sol_ms": round(sol_grid3_ms, 2),
             "grid_pallas_pct_of_sol": round(
                 100 * sol_grid3_ms / (1e3 * t_grid_pallas), 1),
         },

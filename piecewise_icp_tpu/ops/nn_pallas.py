@@ -333,8 +333,8 @@ _SEG = 1024     # lanes per x-slab range; slab = 3 segments
 _TPB = 32       # query tiles per grid step (super-tile)
 
 
-def _knn3_kernel(rng_ref, qx, qy, qz, tx, ty, tz,
-                 out_i, out_d2, sx, sy, sz, gid, d2b, sems, *, k: int):
+def _knn3_kernel(rng_ref, qx, qy, qz, tpack,
+                 out_i, out_d2, spack, gid, d2b, sems, *, k: int):
     # rng_ref [n_tiles * 9] FLAT: (lo_aligned[3], lo[3], hi[3]) per tile —
     # one packed 1-D prefetch operand (2-D scalar operands get lane-padded
     # to 128 in SMEM, which alone overflows the 1 MB budget).
@@ -349,14 +349,15 @@ def _knn3_kernel(rng_ref, qx, qy, qz, tx, ty, tz,
     base = blk * _TPB
 
     def dmas(tg, slot):
+        # ONE DMA per range: xyz packed as sublane-aligned [8, Tp] rows
+        # (9 small copies per tile were DMA-issue-latency-bound)
         out = []
         for r in range(3):
             lo = pl.multiple_of(rng_ref[9 * tg + r], 128)
-            for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
-                out.append(pltpu.make_async_copy(
-                    src.at[0, pl.ds(lo, _SEG)],
-                    dst.at[slot, 0, pl.ds(r * _SEG, _SEG)],
-                    sems.at[slot, 3 * r + c]))
+            out.append(pltpu.make_async_copy(
+                tpack.at[:, pl.ds(lo, _SEG)],
+                spack.at[slot, :, pl.ds(r * _SEG, _SEG)],
+                sems.at[slot, r]))
         return out
 
     for dma in dmas(base, 0):
@@ -387,9 +388,9 @@ def _knn3_kernel(rng_ref, qx, qy, qz, tx, ty, tz,
         # distances of the tile against the slab, masked lanes BIG
         qsl = pl.ds(i * _KQT, _KQT)
         bad = gid[:] == _IMAX
-        dx = qx[qsl, :] - sx[slot, 0, :].reshape(1, -1)
-        dy = qy[qsl, :] - sy[slot, 0, :].reshape(1, -1)
-        dz = qz[qsl, :] - sz[slot, 0, :].reshape(1, -1)
+        dx = qx[qsl, :] - spack[slot, 0, :].reshape(1, -1)
+        dy = qy[qsl, :] - spack[slot, 1, :].reshape(1, -1)
+        dz = qz[qsl, :] - spack[slot, 2, :].reshape(1, -1)
         d2b[:] = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
 
         # k min-extraction passes (static unroll: column writes static)
@@ -413,25 +414,23 @@ def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
     qp = q.shape[0]
     n_tiles = qp // _KQT
     cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
-    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    t_pack = jnp.pad(t_rows, ((0, 8 - t_rows.shape[0]), (0, 0)))
     q_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((_TPB * _KQT, k), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // _TPB,),
-        in_specs=[q_spec] * 3 + [t_spec] * 3,
+        in_specs=[q_spec] * 3 + [t_spec],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            # [slot, 1, lanes]: the buffer slot is a LEADING untiled
-            # axis — Mosaic cannot dynamically slice a dim that is part
-            # of the (sublane, lane) tiling
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # x slab (2 slots)
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # y slab
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),   # z slab
+            # [slot, 8, lanes]: buffer slot as a LEADING untiled axis
+            # (Mosaic cannot dynamically slice the tiled sublane dim);
+            # rows 0..2 = x, y, z
+            pltpu.VMEM((2, 8, 3 * _SEG), jnp.float32),
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),     # global ids per lane
             pltpu.VMEM((_KQT, 3 * _SEG), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out_i, out_d2 = pl.pallas_call(
@@ -444,7 +443,7 @@ def _knn3_padded(q, ranges, t_rows, k: int, interpret: bool = False):
         out_shape=(jax.ShapeDtypeStruct((qp, k), jnp.int32),
                    jax.ShapeDtypeStruct((qp, k), jnp.float32)),
         interpret=interpret,
-    )(ranges, *cols_q, *rows_t)
+    )(ranges, *cols_q, t_pack)
     return out_i, out_d2
 
 

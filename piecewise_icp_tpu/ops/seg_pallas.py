@@ -49,19 +49,20 @@ _NROUNDS = 3
 _STATS = 16          # output lanes per query (11 used, padded to 16)
 
 
-def _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems, extra=()):
-    """The three-range coordinate (and optional extra-array) DMA
-    descriptors for global tile ``tg`` into buffer ``slot``.  ``extra``:
-    (src [R, Tp], dst [2, R, 3*SEG], base semaphore index) triples with R
-    sublane-aligned.  Caller starts/waits them (double-buffered)."""
+def _slab_dmas(rng_ref, tg, slot, tpack, spack, sems, extra=()):
+    """The three-range DMA descriptors for global tile ``tg`` into
+    buffer ``slot``.  ``tpack`` [8, Tp] packs x, y, z as sublane rows so
+    each range is ONE copy (the per-coordinate formulation issued 9
+    small DMAs per tile and was DMA-issue-latency-bound).  ``extra``:
+    (src [R, Tp], dst [2, R, 3*SEG], base semaphore index) triples with
+    R sublane-aligned.  Caller starts/waits them (double-buffered)."""
     out = []
     for r in range(3):
         lo = pl.multiple_of(rng_ref[9 * tg + r], 128)
-        for src, dst, c in ((tx, sx, 0), (ty, sy, 1), (tz, sz, 2)):
-            out.append(pltpu.make_async_copy(
-                src.at[0, pl.ds(lo, _SEG)],
-                dst.at[slot, 0, pl.ds(r * _SEG, _SEG)],
-                sems.at[slot, 3 * r + c]))
+        out.append(pltpu.make_async_copy(
+            tpack.at[:, pl.ds(lo, _SEG)],
+            spack.at[slot, :, pl.ds(r * _SEG, _SEG)],
+            sems.at[slot, r]))
         for src, dst, base in extra:
             out.append(pltpu.make_async_copy(
                 src.at[:, pl.ds(lo, _SEG)],
@@ -88,14 +89,14 @@ def _valid_lanes(rng_ref, tg, gid):
 # ---------------------------------------------------------------------------
 
 
-def _seg_stats_kernel(rng_ref, qx, qy, qz, tx, ty, tz, out,
-                      sx, sy, sz, gid, sems, *, k: int, h2: float):
+def _seg_stats_kernel(rng_ref, qx, qy, qz, tpack, out,
+                      spack, gid, sems, *, k: int, h2: float):
     # super-tiled: _TPB query tiles per grid step, double-buffered slab
     # DMAs (see nn_pallas._knn3_kernel for the scheme)
     base = pl.program_id(0) * _TPB
 
     def dmas(tg, slot):
-        return _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems)
+        return _slab_dmas(rng_ref, tg, slot, tpack, spack, sems)
 
     for dma in dmas(base, 0):
         dma.start()
@@ -115,9 +116,9 @@ def _seg_stats_kernel(rng_ref, qx, qy, qz, tx, ty, tz, out,
         _valid_lanes(rng_ref, tg, gid)
         qsl = pl.ds(i * _KQT, _KQT)
         bad = gid[:] == _IMAX
-        dx = qx[qsl, :] - sx[slot, 0, :].reshape(1, -1)
-        dy = qy[qsl, :] - sy[slot, 0, :].reshape(1, -1)
-        dz = qz[qsl, :] - sz[slot, 0, :].reshape(1, -1)
+        dx = qx[qsl, :] - spack[slot, 0, :].reshape(1, -1)
+        dy = qy[qsl, :] - spack[slot, 1, :].reshape(1, -1)
+        dz = qz[qsl, :] - spack[slot, 2, :].reshape(1, -1)
         d2 = jnp.where(bad, _BIG, dx * dx + dy * dy + dz * dz)
 
         # histogram refinement of the k-th distance: 3 rounds x 8 bins
@@ -176,23 +177,22 @@ def _seg_stats_padded(q, ranges, t_rows, k: int, h2: float,
     qp = q.shape[0]
     n_tiles = qp // _KQT
     cols_q = [q[:, c].reshape(-1, 1) for c in range(3)]
-    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    t_pack = jnp.pad(t_rows, ((0, 8 - t_rows.shape[0]), (0, 0)))
     q_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((_TPB * _KQT, _STATS), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // _TPB,),
-        in_specs=[q_spec] * 3 + [t_spec] * 3,
+        in_specs=[q_spec] * 3 + [t_spec],
         out_specs=out_spec,
         scratch_shapes=[
-            # [slot, 1, lanes]: buffer slot as a LEADING untiled axis
-            # (Mosaic cannot dynamically slice the tiled sublane dim)
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            # [slot, 8, lanes]: buffer slot as a LEADING untiled axis
+            # (Mosaic cannot dynamically slice the tiled sublane dim);
+            # rows 0..2 = x, y, z
+            pltpu.VMEM((2, 8, 3 * _SEG), jnp.float32),
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     return pl.pallas_call(
@@ -204,7 +204,7 @@ def _seg_stats_padded(q, ranges, t_rows, k: int, h2: float,
             vmem_limit_bytes=48 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((qp, _STATS), jnp.float32),
         interpret=interpret,
-    )(ranges, *cols_q, *rows_t)
+    )(ranges, *cols_q, t_pack)
 
 
 _QBUCKET = 32768     # query-prefix bucket (multiple of _KQT*_TPB)
@@ -279,8 +279,8 @@ def seg_stats(sorted_pts: jnp.ndarray, q_mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
-                       out, sx, sy, sz, sstate, gid, sems,
+def _prop_round_kernel(rng_ref, qall, lab_own, tpack, state,
+                       out, spack, sstate, gid, sems,
                        *, inv_res_04: float, adopt: bool, h2: float):
     # super-tiled with double-buffered slab + state DMAs.  ``qall``
     # [Qp, 8] packs (qx, qy, qz, nx, ny, nz, r2, pad) into ONE operand
@@ -291,8 +291,8 @@ def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
     base = pl.program_id(0) * _TPB
 
     def dmas(tg, slot):
-        return _slab_dmas(rng_ref, tg, slot, tx, ty, tz, sx, sy, sz, sems,
-                          extra=((state, sstate, 9),))
+        return _slab_dmas(rng_ref, tg, slot, tpack, spack, sems,
+                          extra=((state, sstate, 3),))
 
     for dma in dmas(base, 0):
         dma.start()
@@ -313,9 +313,9 @@ def _prop_round_kernel(rng_ref, qall, lab_own, tx, ty, tz, state,
         qsl = pl.ds(i * _KQT, _KQT)
         st = sstate[slot]                            # [8, 3*SEG]
         bad = gid[:] == _IMAX
-        dxc = qall[qsl, 0:1] - sx[slot, 0, :].reshape(1, -1)
-        dyc = qall[qsl, 1:2] - sy[slot, 0, :].reshape(1, -1)
-        dzc = qall[qsl, 2:3] - sz[slot, 0, :].reshape(1, -1)
+        dxc = qall[qsl, 0:1] - spack[slot, 0, :].reshape(1, -1)
+        dyc = qall[qsl, 1:2] - spack[slot, 1, :].reshape(1, -1)
+        dzc = qall[qsl, 2:3] - spack[slot, 2, :].reshape(1, -1)
         d2c = dxc * dxc + dyc * dyc + dzc * dzc      # to the CANDIDATE
 
         lab_c = st[6:7, :]                           # candidate label (f32)
@@ -385,7 +385,7 @@ def _prop_round(qall, state_rows, ranges, t_rows,
     qp = qall.shape[0]
     n_tiles = qp // _KQT
     lab_own = state_rows[6, :qp].reshape(-1, 1)
-    rows_t = [t_rows[c].reshape(1, -1) for c in range(3)]
+    t_pack = jnp.pad(t_rows, ((0, 8 - t_rows.shape[0]), (0, 0)))
     q_spec = pl.BlockSpec((_TPB * _KQT, 8), lambda i, *_: (i, 0))
     l_spec = pl.BlockSpec((_TPB * _KQT, 1), lambda i, *_: (i, 0))
     t_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -393,17 +393,16 @@ def _prop_round(qall, state_rows, ranges, t_rows,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // _TPB,),
-        in_specs=[q_spec, l_spec] + [t_spec] * 4,
+        in_specs=[q_spec, l_spec] + [t_spec] * 2,
         out_specs=out_spec,
         scratch_shapes=[
-            # [slot, 1, lanes]: buffer slot as a LEADING untiled axis
-            # (Mosaic cannot dynamically slice the tiled sublane dim)
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
-            pltpu.VMEM((2, 1, 3 * _SEG), jnp.float32),
+            # [slot, 8, lanes]: buffer slot as a LEADING untiled axis
+            # (Mosaic cannot dynamically slice the tiled sublane dim);
+            # rows 0..2 = x, y, z
+            pltpu.VMEM((2, 8, 3 * _SEG), jnp.float32),
             pltpu.VMEM((2, 8, 3 * _SEG), jnp.float32),
             pltpu.VMEM((1, 3 * _SEG), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 12)),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     out = pl.pallas_call(
@@ -416,7 +415,7 @@ def _prop_round(qall, state_rows, ranges, t_rows,
             vmem_limit_bytes=48 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((qp, 8), jnp.float32),
         interpret=interpret,
-    )(ranges, qall, lab_own, *rows_t, state_rows)
+    )(ranges, qall, lab_own, t_pack, state_rows)
     new_rows = jnp.concatenate(
         [out[:, :7], jnp.zeros((qp, 1), jnp.float32)], axis=1).T
     if np_ > qp:
