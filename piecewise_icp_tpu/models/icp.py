@@ -124,8 +124,12 @@ def point_to_plane_icp(target: jnp.ndarray, target_normals: jnp.ndarray,
             # Normalised by the mean weight so the Tikhonov epsilon and
             # convergence thresholds keep their scale.
             iv = 1.0 / jnp.maximum(target_var[idx] + source_var, 1e-14)
-            n_valid_w = jnp.maximum(jnp.sum(source_mask), 1).astype(f32)
-            iv_mean = (jnp.sum(jnp.where(source_mask, iv, 0.0))
+            # psum the normaliser too: mesh runs must scale every row by
+            # the GLOBAL mean inverse variance, or shard composition
+            # leaks into the (otherwise psum-reduced) solve
+            n_valid_w = jnp.maximum(psum(jnp.sum(source_mask)),
+                                    1).astype(f32)
+            iv_mean = (psum(jnp.sum(jnp.where(source_mask, iv, 0.0)))
                        / n_valid_w)
             w = w * jnp.sqrt(iv / jnp.maximum(iv_mean, 1e-30))[:, None]
         a = a * w
@@ -181,9 +185,12 @@ def compute_vcm(target: np.ndarray, target_normals: np.ndarray,
     Correspondences + rows on device; the tiny 6x6 algebra runs on host in
     float64: Qxx = (A^T A)^-1, sigma0^2 = v^T v / (N - 6), VCM = sigma0^2 Qxx.
 
-    Returns (VCM, x) where x is the float64 least-squares parameter update
-    (rx, ry, rz, tx, ty, tz) mapping source onto target — the correction
-    the reference computes and discards (Registration.cpp:1329).
+    Returns (VCM, x, sigma0_sq) where x is the float64 least-squares
+    parameter update (rx, ry, rz, tx, ty, tz) mapping source onto target —
+    the correction the reference computes and discards
+    (Registration.cpp:1329) — and sigma0_sq the a-posteriori unit-weight
+    variance (m^2), the convergence-quality signal the robustness guard
+    consumes.
     """
     a, l, valid = jax.device_get(vcm_normal_equations(
         jnp.asarray(target), jnp.asarray(target_normals),
@@ -200,4 +207,4 @@ def compute_vcm(target: np.ndarray, target_normals: np.ndarray,
     x = qxx @ (a.T @ l)
     v = a @ x - l
     sigma0_sq = float(v @ v) / max(n - 6, 1)
-    return sigma0_sq * qxx, x
+    return sigma0_sq * qxx, x, sigma0_sq

@@ -42,22 +42,33 @@ class TargetState:
 
 
 def prepare_target(points1: np.ndarray, cfg: PiecewiseICPConfig,
-                   sor_mult: float, resolution: float | None = None
-                   ) -> TargetState:
-    """Preprocess + segment the target cloud once (reduced frame)."""
+                   sor_mult: float, resolution: float | None = None,
+                   lattice_offset: np.ndarray | None = None,
+                   prep_state: "TargetState | None" = None) -> TargetState:
+    """Preprocess + segment the target cloud once (reduced frame).
+
+    ``prep_state``: a previous TargetState of the SAME cloud — reuses its
+    preprocessing/shift and only re-segments (the acceptance guard's
+    lattice re-roll path).
+    """
     from .segmentation import build_patches
 
-    res1 = resolution if resolution is not None else cfg.res1
-    if not cfg.set_res_svsize and resolution is None:
-        res1 = estimate_resolution(jnp.asarray(points1))
-    prep1 = preprocess_cloud(points1, res1, cfg.sor_neighbors, sor_mult)
-    shift = -prep1.astype(np.float64).mean(axis=0)
-    red1 = (prep1.astype(np.float64) + shift).astype(np.float32)
+    if prep_state is not None:
+        res1, shift = prep_state.resolution, prep_state.shift
+        red1 = prep_state.reduced_points
+    else:
+        res1 = resolution if resolution is not None else cfg.res1
+        if not cfg.set_res_svsize and resolution is None:
+            res1 = estimate_resolution(jnp.asarray(points1))
+        prep1 = preprocess_cloud(points1, res1, cfg.sor_neighbors, sor_mult)
+        shift = -prep1.astype(np.float64).mean(axis=0)
+        red1 = (prep1.astype(np.float64) + shift).astype(np.float32)
     sv1 = cfg.svsize1 if cfg.set_res_svsize else res1 * cfg.sv_size_res_mult
     # the reduction shift maps world -> this frame: anchoring the seed
     # lattice through it keeps every epoch on ONE world voxelisation
     patches = build_patches(red1, sv1, cfg, resolution=res1,
-                            lattice_shift=shift)
+                            lattice_shift=shift,
+                            lattice_offset=lattice_offset)
     return TargetState(shift=shift, reduced_points=red1, patches=patches,
                        resolution=res1)
 
@@ -79,7 +90,9 @@ def register_pair(points1: Optional[np.ndarray],
                   sor_mult: Optional[float] = None,
                   target_state: Optional[TargetState] = None,
                   source_state: Optional[TargetState] = None,
-                  mesh=None) -> RegistrationOutput:
+                  mesh=None,
+                  lattice_offset: np.ndarray | None = None
+                  ) -> RegistrationOutput:
     """Register cloud2 onto cloud1 (raw input clouds, original frame).
 
     Pipeline (Registration.cpp:249-330): optional resolution estimation →
@@ -108,7 +121,8 @@ def register_pair(points1: Optional[np.ndarray],
 
     if target_state is None:
         with timer.phase("target"):
-            target_state = prepare_target(points1, cfg, mult)
+            target_state = prepare_target(points1, cfg, mult,
+                                          lattice_offset=lattice_offset)
     res1 = target_state.resolution
 
     # centroid reduction by the TARGET centroid (Registration.cpp:277-294)
@@ -139,7 +153,8 @@ def register_pair(points1: Optional[np.ndarray],
         core = piecewise_icp(red1, red2, res1, res2, cfg,
                              patches1=target_state.patches,
                              patches2=patches2, mesh=mesh,
-                             lattice_shift=shift)
+                             lattice_shift=shift,
+                             lattice_offset=lattice_offset)
 
     # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
     s = translation_matrix(shift)

@@ -121,6 +121,9 @@ class PairResult:
     patches2: "PatchSet | None" = None
     stable_point_mask: "np.ndarray | None" = None  # over patches2.points
     total_icp_iters: int = 0   # inner point-to-plane iterations, all outer
+    sigma0: float = 0.0        # a-posteriori unit-weight std of the final
+    #                            VCM fit (m) — convergence-quality signal
+    final_n_stable: int = 0    # stable patches at the final iteration
 
 
 @functools.partial(jax.jit,
@@ -325,7 +328,13 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
                                     jnp.sqrt(jnp.maximum(d2min, 0.0)),
                                     d[sel]))
         rescued_all = n_bad <= u
-        ok = resolved | (~pt_stable) | bad   # rescued entries are exact
+        # only the first u bad queries are re-measured; entries past the
+        # budget keep their window-truncated overestimate and must NOT
+        # count as exact (else `strict & idx<n_resolved` could certify an
+        # inexact d75 exactly in the heavy-misalignment regime it guards)
+        rank = jnp.cumsum(bad) - 1
+        rescued = bad & (rank < u)
+        ok = resolved | (~pt_stable) | rescued
         d_ok = jnp.where(ok, d, jnp.inf)
         if axis_name is None:
             d_all, stable_n = d_ok, jnp.sum(pt_stable)
@@ -383,7 +392,8 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                   patches1: Optional[PatchSet] = None,
                   patches2: Optional[PatchSet] = None,
                   mesh=None,
-                  lattice_shift: np.ndarray | None = None) -> PairResult:
+                  lattice_shift: np.ndarray | None = None,
+                  lattice_offset: np.ndarray | None = None) -> PairResult:
     """Register preprocessed ``cloud2`` onto ``cloud1`` (both centroid-
     reduced, host float32 arrays).
 
@@ -414,10 +424,12 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     # --- patch generation (Registration.cpp:653-664) ---
     if patches1 is None:
         patches1 = build_patches(cloud1, sv1, cfg, resolution=res1,
-                                 lattice_shift=lattice_shift)
+                                 lattice_shift=lattice_shift,
+                                 lattice_offset=lattice_offset)
     if patches2 is None:
         patches2 = build_patches(cloud2, sv2, cfg, resolution=res2,
-                                 lattice_shift=lattice_shift)
+                                 lattice_shift=lattice_shift,
+                                 lattice_offset=lattice_offset)
     p1, p2 = patches1.num_patches, patches2.num_patches
     log.info("selected patches: PC1=%d PC2=%d", p1, p2)
     if p2 < cfg.min_stable_patches or p1 < cfg.min_stable_patches:
@@ -515,6 +527,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     to_stage2 = to_stage3 = False
     bb1 = bb2 = 0.0
     vcm = np.zeros((6, 6))
+    sigma0_sq = 0.0
     stable_ratio = 0.0
     iteration = 0
     total_icp_iters = 0
@@ -609,7 +622,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             with gphase("core.vcm"):
                 # one batched fetch: five np.asarray calls each pay a
                 # tunnel round-trip
-                vcm, _ = compute_vcm(*jax.device_get(
+                vcm, _, sigma0_sq = compute_vcm(*jax.device_get(
                     (ct1, n1, ct1_mask, ct2, stable)))
 
         # ---- adopt the transformed state (computed inside the fused step,
@@ -640,4 +653,6 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                       num_patches=(p1, p2), patches1=patches1,
                       patches2=patches2,
                       stable_point_mask=stable_mask,
-                      total_icp_iters=total_icp_iters)
+                      total_icp_iters=total_icp_iters,
+                      sigma0=float(np.sqrt(max(sigma0_sq, 0.0))),
+                      final_n_stable=int(n_stable))

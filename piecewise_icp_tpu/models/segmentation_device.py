@@ -181,6 +181,26 @@ def _seg_patches_fused(sorted_pts, q_mask, cell_starts, origin, dims,
     return (lab_sorted,) + tuple(stats)
 
 
+def _warn_uncovered_tiles(sp) -> None:
+    """Surface slab-window truncation instead of silently degrading.
+
+    The segmentation kernels have no in-program rescue (unlike the
+    percentile path): a tile whose 3-range window exceeds the _SEG budget
+    (extremely dense region) gets truncated neighbourhood stats and label
+    propagation.  ``sp.covered`` is host-computed, so detection is free;
+    warn loudly so campaigns do not degrade without a trace (ADVICE r4)."""
+    from ..utils.logging import log
+
+    n_bad = int((~sp.covered).sum())
+    if n_bad:
+        log.warning(
+            "segmentation slab windows truncated on %d/%d tiles "
+            "(cell density exceeds the kernel budget); neighbourhood "
+            "stats/propagation are approximate there — consider a larger "
+            "voxel resolution or the native segmentation backend",
+            n_bad, len(sp.covered))
+
+
 def segment_patches_device(points: np.ndarray, sv_resolution: float,
                            k: int, resolution: float, cfg,
                            seed_origin: np.ndarray | None = None):
@@ -218,6 +238,7 @@ def segment_patches_device(points: np.ndarray, sv_resolution: float,
 
         sp = slab_padded_self_join(grid, lane=_KQT,
                                    block=_KQT * _TPB, tile_multiple=_TPB)
+        _warn_uncovered_tiles(sp)
         seeds_p = np.full(s_pad, -1, np.int32)
         seeds_p[:len(seeds)] = sp.pos_map[seeds]
         (lab_sorted, valid, trim, ct, bp, nrm, std_bp, std_ct,
@@ -288,6 +309,7 @@ def segment_cloud_device(points: np.ndarray, sv_resolution: float,
         grid = build_grid(pts, h)
         sp = slab_padded_self_join(grid, lane=_KQT,
                                    block=_KQT * _TPB, tile_multiple=_TPB)
+        _warn_uncovered_tiles(sp)
         sorted_pts = jnp.asarray(sp.points)
         q_mask = jnp.asarray(sp.real_mask)
         starts = jnp.zeros((1,), jnp.int32)

