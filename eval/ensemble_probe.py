@@ -23,14 +23,14 @@ REF = "/root/reference/python"
 DATA = f"{REF}/data/data_synthetic/syntheticPC_with_transformations"
 GT = f"{REF}/data/data_synthetic/defined_transformations.txt"
 
-PAIRS = [(12, 9), (7, 4), (9, 6), (13, 10)]
+PAIRS = [(7, 4), (12, 9), (9, 6), (5, 2), (20, 17)]
 ARC_TO_MGON = 1000.0 * 200.0 / np.pi
 SV = 0.05
-OFFSETS = [None,
-           np.array([SV / 3, SV / 3, 0.0]),
-           np.array([2 * SV / 3, SV / 3, SV / 2]),
-           np.array([SV / 3, 2 * SV / 3, SV / 2]),
-           np.array([2 * SV / 3, 2 * SV / 3, 0.0])]
+# the guard's golden-ratio low-discrepancy phases (models/pairwise.py)
+OFFSETS = [None] + [
+    np.array([((d + 1) * 0.381966) % 1.0,
+              ((d + 1) * 0.618034) % 1.0,
+              ((d + 1) * 0.5) % 1.0]) * SV for d in range(8)]
 
 
 def main() -> int:
@@ -57,7 +57,8 @@ def main() -> int:
         path1=DATA, path2="/tmp/probe_out/",
         set_res_svsize=True, res1=0.005, res2=0.005,
         svsize1=SV, svsize2=SV,
-        set_dtinit=True, dt_init=0.05, dt_min=0.004)
+        set_dtinit=True, dt_init=0.05, dt_min=0.004,
+        guard_enabled=False)   # the probe IS the ensemble — no nesting
 
     results = []
     for (src, tgt) in PAIRS:
@@ -87,6 +88,10 @@ def main() -> int:
         errs = np.abs(p - want)
         rec = {
             "pair": f"{src}->{tgt}",
+            "params": [list(np.round(x, 5)) for x in p],
+            "want": list(np.round(want, 5)),
+            "sigma0": [round(d[1].core.sigma0 * 1000, 4) for d in draws],
+            "vcms": [np.asarray(d[1].vcm).tolist() for d in draws],
             "per_draw_rot_err": [round(float(e[:3].max()), 2) for e in errs],
             "per_draw_trans_err": [round(float(e[3:].max()), 3)
                                    for e in errs],

@@ -53,7 +53,7 @@ def run_fleet(conf: str, out_dir: str, epochs: int, mode: int,
     cmd = [sys.executable, "-m", "piecewise_icp_tpu", "4d",
            "--config", conf, "--epochs", str(epochs), "--mode", str(mode),
            "--backend", "cpu", "--shards", str(workers), "--no-finalize"]
-    logs = [open(os.path.join(WORKDIR, f"worker_{workers}w_{i}.log"), "w")
+    logs = [open(os.path.join(os.path.dirname(out_dir.rstrip(os.sep)), f"worker_{workers}w_{i}.log"), "w")
             for i in range(workers)]
     t0 = time.perf_counter()
     # cwd=ROOT: `python -m piecewise_icp_tpu` only resolves from the repo
@@ -71,7 +71,7 @@ def run_fleet(conf: str, out_dir: str, epochs: int, mode: int,
         f.close()
     if any(rcs):
         raise RuntimeError(
-            f"fleet worker failed (rcs={rcs}); see {WORKDIR}/worker_*.log")
+            f"fleet worker failed (rcs={rcs}); see worker_*.log")
 
     # finalise: chaining + Kalman + accuracy from the durable npz grain
     fin_cmd = [a for a in cmd if a != "--no-finalize"]
@@ -92,36 +92,46 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=13)
     ap.add_argument("--mode", type=int, default=1)
     ap.add_argument("--workers", type=int, nargs="*", default=[1, 2])
+    ap.add_argument("--voxel", type=float, default=0.012,
+                    help="series voxel size [m]; 0.017 halves the point "
+                         "count (the r5 bandwidth-isolation A/B: if "
+                         "2-worker efficiency recovers at half size, the "
+                         "r4 memory-bandwidth explanation holds)")
+    ap.add_argument("--tag", default=None,
+                    help="report key (default: r5_voxel<mm>)")
     args = ap.parse_args()
 
     import numpy as np  # noqa: F401  (scale_demo import path)
     import scale_demo
 
-    scans = os.path.join(WORKDIR, "scans")
+    vox_mm = int(round(args.voxel * 1000))
+    workdir = WORKDIR if vox_mm == 12 else f"{WORKDIR}_{vox_mm}mm"
+    os.makedirs(workdir, exist_ok=True)
+    scans = os.path.join(workdir, "scans")
     if not os.path.isdir(scans) or len(os.listdir(scans)) < args.epochs:
-        print(f"[fleet] generating {args.epochs}-epoch light series",
-              flush=True)
+        print(f"[fleet] generating {args.epochs}-epoch light series "
+              f"(voxel {vox_mm} mm)", flush=True)
         if os.path.isdir(scans):
             shutil.rmtree(scans)
-        scale_demo.REF_SCAN = scale_demo.REF_SCAN  # keep default base
-        scans = scale_demo.generate_series(WORKDIR, args.epochs,
-                                           downsample=0.012, digits=3)
+        scans = scale_demo.generate_series(workdir, args.epochs,
+                                           downsample=args.voxel, digits=3)
 
     from piecewise_icp_tpu.config import PiecewiseICPConfig
 
-    out_dir = os.path.join(WORKDIR, "out") + os.sep
+    out_dir = os.path.join(workdir, "out") + os.sep
+    v = args.voxel
     cfg = PiecewiseICPConfig(
         path1=scans, path2=out_dir, set_res_svsize=True,
-        res1=0.012, res2=0.012, svsize1=0.12, svsize2=0.12,
-        set_dtinit=True, dt_init=0.06, dt_min=0.008)
-    conf = os.path.join(WORKDIR, "conf.txt")
+        res1=v, res2=v, svsize1=10 * v, svsize2=10 * v,
+        set_dtinit=True, dt_init=5 * v, dt_min=0.008)
+    conf = os.path.join(workdir, "conf.txt")
     cfg.to_reference_file(conf)
 
     # warm the persistent compilation cache (workers then start cache-hot)
     print("[fleet] cache warm-up (2-epoch campaign)", flush=True)
-    warm_out = os.path.join(WORKDIR, "warm") + os.sep
+    warm_out = os.path.join(workdir, "warm") + os.sep
     warm_cfg = PiecewiseICPConfig(**{**cfg.__dict__, "path2": warm_out})
-    warm_conf = os.path.join(WORKDIR, "conf_warm.txt")
+    warm_conf = os.path.join(workdir, "conf_warm.txt")
     warm_cfg.to_reference_file(warm_conf)
     warm = subprocess.run([sys.executable, "-m", "piecewise_icp_tpu", "4d",
                            "--config", warm_conf, "--epochs", "2", "--mode",
@@ -132,7 +142,7 @@ def main() -> int:
         raise RuntimeError(f"warm-up failed: {warm.stdout[-2000:]}")
 
     report = {"epochs": args.epochs, "mode": args.mode,
-              "series_points_per_epoch": "~40k (voxel 12 mm)",
+              "voxel_mm": vox_mm,
               "host_cores": os.cpu_count(), "runs": []}
     t1 = None
     for w in args.workers:
@@ -147,8 +157,16 @@ def main() -> int:
         print(f"[fleet] {r}", flush=True)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "fleet_report.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    path = os.path.join(here, "fleet_report.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except ValueError:
+            merged = {}
+    merged[args.tag or f"r5_voxel{vox_mm}mm"] = report
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
     print(json.dumps(report))
     return 0
 

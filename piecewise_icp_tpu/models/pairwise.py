@@ -19,8 +19,11 @@ from ..io import formats, read_pcd, write_pcd
 from ..ops.preprocess import estimate_resolution, preprocess_cloud
 from ..ops.transform import (apply_transform_np, matrix_to_angles,
                              matrix_to_params_gon, translation_matrix)
+from ..utils.errors import PwICPError
 from ..utils.logging import PhaseTimer, log
 from .piecewise_icp import PairResult, piecewise_icp
+
+ARC_TO_MGON = 1000.0 * 200.0 / np.pi   # rad -> milligon
 
 
 @dataclasses.dataclass
@@ -149,17 +152,73 @@ def register_pair(points1: Optional[np.ndarray],
              len(red2), len(target_state.reduced_points),
              target_state.patches.num_patches)
 
-    with timer.phase("core"):
-        core = piecewise_icp(red1, red2, res1, res2, cfg,
-                             patches1=target_state.patches,
-                             patches2=patches2, mesh=mesh,
-                             lattice_shift=shift,
-                             lattice_offset=lattice_offset)
+    def _core_run(tstate: TargetState, p2, off):
+        with timer.phase("core"):
+            c = piecewise_icp(tstate.reduced_points, red2, res1, res2, cfg,
+                              patches1=tstate.patches,
+                              patches2=p2, mesh=mesh,
+                              lattice_shift=tstate.shift,
+                              lattice_offset=off)
+        # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
+        s = translation_matrix(tstate.shift)
+        s_inv = translation_matrix(-tstate.shift)
+        return c, s_inv @ c.trans_mat @ s
 
-    # de-reduce: T_final = S^-1 T S (Registration.cpp:319)
-    s = translation_matrix(shift)
-    s_inv = translation_matrix(-shift)
-    trans_final = s_inv @ core.trans_mat @ s
+    core, trans_final = _core_run(target_state, patches2, lattice_offset)
+
+    # ---- acceptance guard (beyond-reference; VERDICT r4 items 1/3):
+    #      a low final stable ratio marks a hard pair (large changed area
+    #      or low overlap) whose result is sensitive to the patch DRAW.
+    #      Re-roll the seed-lattice phase for independent draws and accept
+    #      the draw closest to the component-wise parameter median —
+    #      robust to bad draws without ground truth. ----
+    if (cfg.guard_enabled and cfg.guard_draws > 1
+            and lattice_offset is None
+            and core.stable_ratio < cfg.guard_stable_ratio):
+        log.info("acceptance guard: stable ratio %.3f < %.2f — running "
+                 "%d extra lattice draws", core.stable_ratio,
+                 cfg.guard_stable_ratio, cfg.guard_draws - 1)
+        sv1 = (cfg.svsize1 if cfg.set_res_svsize
+               else res1 * cfg.sv_size_res_mult)
+        draws = [(core, trans_final)]
+        for d in range(cfg.guard_draws - 1):
+            # deterministic low-discrepancy lattice phases (golden-ratio
+            # sequence): arbitrary draw counts without repeats
+            off = np.asarray([((d + 1) * 0.381966) % 1.0,
+                              ((d + 1) * 0.618034) % 1.0,
+                              ((d + 1) * 0.5) % 1.0]) * sv1
+            try:
+                ts_d = prepare_target(None, cfg, mult, lattice_offset=off,
+                                      prep_state=target_state)
+                draws.append(_core_run(ts_d, None, off))
+            except PwICPError as e:
+                log.info("guard draw %d degenerate (%s) — skipped", d, e)
+        if len(draws) > 1:
+            # Combine: average the parameters of the two lowest-sigma0
+            # draws.  sigma0 (the a-posteriori unit-weight std of the
+            # final fit) rank-correlates with true error on hard pairs —
+            # leaked sub-LoD change inflates the residuals of the draw it
+            # contaminated — and averaging the two best halves the
+            # remaining draw noise (r5 offline study on 6x5 recorded
+            # draws: hard-pair mean rot 59.3 -> 26.6 mgon vs 29.5 for
+            # single best-sigma0 pick).
+            s0 = np.array([c.sigma0 for c, _ in draws])
+            order = np.argsort(s0)
+            top = order[:2]
+            p6 = np.stack([
+                np.concatenate([matrix_to_angles(t), t[:3, 3]])
+                for _, t in draws])
+            from ..ops.transform import params_to_matrix
+            trans_final = params_to_matrix(p6[top].mean(axis=0))
+            core = draws[int(top[0])][0]
+            spread = np.ptp(p6, axis=0)
+            log.info("acceptance guard: combined draws %s of %d by "
+                     "sigma0 (%s mm); draw spread rot %.2f mgon, "
+                     "trans %.3f mm", list(top), len(draws),
+                     np.array2string(s0 * 1e3, precision=3),
+                     spread[:3].max() * ARC_TO_MGON,
+                     1e3 * spread[3:].max())
+
     params = matrix_to_params_gon(trans_final)
     if profile_dir:
         import jax as _jax
