@@ -108,11 +108,13 @@ class PiecewiseICPConfig:
     # whose final stable ratio falls below the threshold (= a large
     # changed/low-overlap area, where the result is sensitive to the
     # patch draw) are re-run with extra seed-lattice phase draws; the
-    # accepted transform averages the two lowest-sigma0 draws (sigma0
-    # rank-correlates with true error on such pairs — measured r5).
+    # accepted transform is the GLS (VCM-weighted) fusion of the three
+    # lowest-sigma0 draws (sigma0 rank-correlates with true error on
+    # such pairs, and the VCM weighting fuses correctly along the
+    # narrow-band rot/trans tradeoff direction — measured r5).
     guard_enabled: bool = True
     guard_stable_ratio: float = 0.35
-    guard_draws: int = 5             # total draws on a flagged pair
+    guard_draws: int = 9             # total draws on a flagged pair
 
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)

@@ -194,25 +194,40 @@ def register_pair(points1: Optional[np.ndarray],
             except PwICPError as e:
                 log.info("guard draw %d degenerate (%s) — skipped", d, e)
         if len(draws) > 1:
-            # Combine: average the parameters of the two lowest-sigma0
-            # draws.  sigma0 (the a-posteriori unit-weight std of the
-            # final fit) rank-correlates with true error on hard pairs —
-            # leaked sub-LoD change inflates the residuals of the draw it
-            # contaminated — and averaging the two best halves the
-            # remaining draw noise (r5 offline study on 6x5 recorded
-            # draws: hard-pair mean rot 59.3 -> 26.6 mgon vs 29.5 for
-            # single best-sigma0 pick).
+            # Combine: GLS (precision-weighted) fusion of the THREE
+            # lowest-sigma0 draws.  sigma0 (the a-posteriori unit-weight
+            # std of the final fit) rank-correlates with true error on
+            # hard pairs — leaked sub-LoD change inflates the residuals
+            # of the draw it contaminated — and VCM weighting fuses the
+            # draws along each pair's own uncertainty geometry: hard
+            # pairs scatter along the VCM's weak direction (narrow-band
+            # stable regions trade rotation against translation), where
+            # component-wise averaging mixes poorly but GLS weights
+            # correctly (r5 offline study on 5 pairs x 9 recorded draws:
+            # mean rot 38.9 -> 20.3 mgon, trans 1.17 -> 0.49 mm vs GT;
+            # top-2 param averaging got 19.4 / 0.76).
             s0 = np.array([c.sigma0 for c, _ in draws])
             order = np.argsort(s0)
-            top = order[:2]
+            top = order[:min(3, len(draws))]
             p6 = np.stack([
                 np.concatenate([matrix_to_angles(t), t[:3, 3]])
                 for _, t in draws])
+            w_sum = np.zeros((6, 6))
+            b_sum = np.zeros(6)
+            for i in top:
+                w = np.linalg.inv(np.asarray(draws[int(i)][0].vcm)
+                                  + 1e-18 * np.eye(6))
+                w_sum += w
+                b_sum += w @ p6[i]
             from ..ops.transform import params_to_matrix
-            trans_final = params_to_matrix(p6[top].mean(axis=0))
+            try:
+                fused = np.linalg.solve(w_sum, b_sum)
+            except np.linalg.LinAlgError:
+                fused = p6[top].mean(axis=0)
+            trans_final = params_to_matrix(fused)
             core = draws[int(top[0])][0]
             spread = np.ptp(p6, axis=0)
-            log.info("acceptance guard: combined draws %s of %d by "
+            log.info("acceptance guard: GLS-fused draws %s of %d by "
                      "sigma0 (%s mm); draw spread rot %.2f mgon, "
                      "trans %.3f mm", list(top), len(draws),
                      np.array2string(s0 * 1e3, precision=3),
