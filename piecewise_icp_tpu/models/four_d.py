@@ -254,14 +254,28 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
     vcm_list: List[Optional[np.ndarray]] = []
     failed: List[int] = []
     missing: List[int] = []
-    for i in range(start_epoch, epoch_num - 1):
+
+    def _ref_of(i: int) -> int:
         step = i - start_epoch + 1
         if pair_mode > 0:
-            ref_idx = start_epoch if pair_mode >= step else i + 1 - pair_mode
-        elif pair_mode < 0:
-            ref_idx = start_epoch + reg_pairs[i + 1 - start_epoch]
-        else:
-            ref_idx = start_epoch
+            return start_epoch if pair_mode >= step else i + 1 - pair_mode
+        if pair_mode < 0:
+            return start_epoch + reg_pairs[i + 1 - start_epoch]
+        return start_epoch
+
+    # one-epoch lookahead: while pair k registers (device-dominated), a
+    # single worker thread prepares pair k+1's epoch states — the host
+    # side of preprocessing+segmentation (voxel grid, slab join, seeds,
+    # uploads) hides behind the running registration.  Device dispatches
+    # from both threads serialize in the runtime; this is intra-process,
+    # so the one-TPU-process rule is untouched.
+    from concurrent.futures import ThreadPoolExecutor
+    prefetch_pool = ThreadPoolExecutor(max_workers=1)
+    pending: Dict[int, object] = {}
+
+    for i in range(start_epoch, epoch_num - 1):
+        step = i - start_epoch + 1
+        ref_idx = _ref_of(i)
         ts_list.append(times[i + 1])
         pair_npz = os.path.join(pairs_dir, f"pair_{step:04d}.npz")
 
@@ -291,9 +305,20 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
                 if idx not in epoch_states:
                     for old in [k for k in epoch_states if k < ref_idx]:
                         del epoch_states[old]  # targets advance monotonically
-                    epoch_states[idx] = prepare_target(
-                        _load_cloud_cached(files[idx]), cfg,
-                        cfg.sor_std_mult_4d)
+                    fut = pending.pop(idx, None)
+                    epoch_states[idx] = fut.result() if fut is not None \
+                        else prepare_target(
+                            _load_cloud_cached(files[idx]), cfg,
+                            cfg.sor_std_mult_4d)
+            # queue the NEXT owned pair's missing epochs on the worker
+            nxt = i + 1
+            if nxt < epoch_num - 1 \
+                    and _owner(nxt - start_epoch + 1) == shard_index:
+                for idx in (_ref_of(nxt), nxt + 1):
+                    if idx not in epoch_states and idx not in pending:
+                        pending[idx] = prefetch_pool.submit(
+                            prepare_target, _load_cloud_cached(files[idx]),
+                            cfg, cfg.sor_std_mult_4d)
             with timer.phase("pair", step=step):
                 result = register_pair(None, None, cfg,
                                        sor_mult=cfg.sor_std_mult_4d,
@@ -314,6 +339,8 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
         vcm_list.append(vcm)
         np.savez(pair_npz, tm=tm, vcm=vcm, failed=was_failed,
                  ts=times[i + 1])
+
+    prefetch_pool.shutdown(wait=True)
 
     if missing:
         log.info("shard %d/%d: %d pairs done here; %d pairs belong to "

@@ -44,6 +44,50 @@ class TargetState:
     resolution: float
 
 
+def _prepare_cloud_unified(points: np.ndarray, cfg: PiecewiseICPConfig,
+                           sor_mult: float, res: float, sv: float,
+                           lattice_offset: np.ndarray | None):
+    """One-grid SOR + segmentation (TPU fast path).
+
+    Returns (kept_points [input frame/order], PatchSet [input frame]) or
+    None — caller falls back to the staged preprocess + build_patches."""
+    import os as _os
+
+    import jax
+
+    if _os.environ.get("PWICP_NO_UNIFIED"):
+        return None
+    if not (cfg.segmentation_impl in ("auto", "jax")
+            and jax.default_backend() == "tpu"):
+        return None
+    from ..ops.preprocess import voxel_downsample
+    from ..utils.logging import gphase
+    from .segmentation_device import preprocess_segment_device
+
+    with gphase("prep.voxel"):
+        down = voxel_downsample(points, res)
+    if down.shape[0] < 4096:
+        return None
+    # the input frame IS the world frame here, so seed_grid_align anchors
+    # to plain multiples of sv (the staged path reaches the same lattice
+    # through lattice_shift); a lattice_offset re-phases below the min
+    seed_origin = None
+    mn = down.astype(np.float64).min(axis=0)
+    if cfg.seed_grid_align:
+        seed_origin = np.floor(mn / sv) * sv
+    if lattice_offset is not None:
+        base = seed_origin if seed_origin is not None else mn
+        seed_origin = base - np.mod(
+            np.asarray(lattice_offset, np.float64), sv)
+    out = preprocess_segment_device(
+        down, res, cfg.sor_neighbors, sor_mult, sv, cfg.knn_normals,
+        cfg, seed_origin=seed_origin)
+    if out is None:
+        return None
+    ps, _nsv, kept = out
+    return kept, ps
+
+
 def prepare_target(points1: np.ndarray, cfg: PiecewiseICPConfig,
                    sor_mult: float, resolution: float | None = None,
                    lattice_offset: np.ndarray | None = None,
@@ -63,6 +107,17 @@ def prepare_target(points1: np.ndarray, cfg: PiecewiseICPConfig,
         res1 = resolution if resolution is not None else cfg.res1
         if not cfg.set_res_svsize and resolution is None:
             res1 = estimate_resolution(jnp.asarray(points1))
+        sv1u = (cfg.svsize1 if cfg.set_res_svsize
+                else res1 * cfg.sv_size_res_mult)
+        uni = _prepare_cloud_unified(points1, cfg, sor_mult, res1, sv1u,
+                                     lattice_offset)
+        if uni is not None:
+            kept, ps_in = uni
+            shift = -kept.astype(np.float64).mean(axis=0)
+            red1 = (kept.astype(np.float64) + shift).astype(np.float32)
+            return TargetState(shift=shift, reduced_points=red1,
+                               patches=ps_in.translated(shift),
+                               resolution=res1)
         prep1 = preprocess_cloud(points1, res1, cfg.sor_neighbors, sor_mult)
         shift = -prep1.astype(np.float64).mean(axis=0)
         red1 = (prep1.astype(np.float64) + shift).astype(np.float32)
@@ -145,9 +200,21 @@ def register_pair(points1: Optional[np.ndarray],
         if not cfg.set_res_svsize:
             with timer.phase("resolution"):
                 res2 = estimate_resolution(jnp.asarray(points2))
+        sv2u = (cfg.svsize2 if cfg.set_res_svsize
+                else res2 * cfg.sv_size_res_mult)
         with timer.phase("preprocess"):
-            prep2 = preprocess_cloud(points2, res2, cfg.sor_neighbors, mult)
-        red2 = (prep2.astype(np.float64) + shift).astype(np.float32)
+            uni = _prepare_cloud_unified(points2, cfg, mult, res2, sv2u,
+                                         lattice_offset)
+            if uni is not None:
+                kept2, ps2_in = uni
+                patches2 = ps2_in.translated(shift)
+                red2 = (kept2.astype(np.float64)
+                        + shift).astype(np.float32)
+            else:
+                prep2 = preprocess_cloud(points2, res2,
+                                         cfg.sor_neighbors, mult)
+                red2 = (prep2.astype(np.float64)
+                        + shift).astype(np.float32)
     log.info("source: %d reduced pts | target: %d pts, %d patches",
              len(red2), len(target_state.reduced_points),
              target_state.patches.num_patches)

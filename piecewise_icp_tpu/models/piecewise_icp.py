@@ -386,6 +386,17 @@ def _iteration_step(ct1, n1, std_ct1, ct1_mask,
             new_n2)
 
 
+def _host_nn(targets: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """NN match over patch centroids on host (scipy tree when available;
+    the dense [P2, P1, 3] broadcast costs ~90 ms at 2k x 2k)."""
+    try:
+        from scipy.spatial import cKDTree
+        return cKDTree(targets).query(queries)[1]
+    except ImportError:  # pragma: no cover
+        d2 = ((queries[:, None, :] - targets[None, :, :]) ** 2).sum(-1)
+        return np.argmin(d2, axis=1)
+
+
 def _robust_refine(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
                    ct2h: np.ndarray, stableh: np.ndarray,
                    p1: int, p2: int, min_keep: int,
@@ -415,8 +426,7 @@ def _robust_refine(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
 
     c1 = ct1h[valid1].astype(np.float64)
     c2 = ct2h[s_idx].astype(np.float64)
-    d2 = ((c2[:, None, :] - c1[None, :, :]) ** 2).sum(-1)
-    j = np.argmin(d2, axis=1)
+    j = _host_nn(c1, c2)
     p = c1[j]
     nrm = n1h[valid1][j].astype(np.float64)
 
@@ -455,7 +465,24 @@ def _robust_refine(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
         return None
     keep = stableh.copy()
     keep[s_idx[~keep_local]] = False
-    return t_total, keep
+
+    # VCM directly from the final rows on the surviving set (reference
+    # formula, Registration.cpp:1322-1335) — saves the separate
+    # compute_vcm device dispatch + fetch the loop used to pay
+    a_k = np.column_stack([
+        nrm[:, 2] * q[:, 1] - nrm[:, 1] * q[:, 2],
+        nrm[:, 0] * q[:, 2] - nrm[:, 2] * q[:, 0],
+        nrm[:, 1] * q[:, 0] - nrm[:, 0] * q[:, 1],
+        nrm[:, 0], nrm[:, 1], nrm[:, 2]])[keep_local]
+    r_k = np.einsum("ij,ij->i", nrm, p - q)[keep_local]
+    ata = a_k.T @ a_k
+    if abs(np.linalg.det(ata)) < 1e-9:
+        log.warning("VCM normal matrix is near-singular")
+    qxx = np.linalg.inv(ata)
+    x_k = qxx @ (a_k.T @ r_k)
+    v = a_k @ x_k - r_k
+    sigma0_sq = float(v @ v) / max(n_keep - 6, 1)
+    return t_total, keep, sigma0_sq * qxx, sigma0_sq
 
 
 def _change_screen(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
@@ -489,9 +516,7 @@ def _change_screen(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
 
     c1 = ct1h[valid1].astype(np.float64)
     c2 = ct2h[s_idx].astype(np.float64)
-    # NN match over centroids (P1 x P2 ~ 2k x 2k: trivial on host)
-    d2 = ((c2[:, None, :] - c1[None, :, :]) ** 2).sum(-1)
-    j = np.argmin(d2, axis=1)
+    j = _host_nn(c1, c2)
     nmatch = n1h[valid1][j].astype(np.float64)
     signed = np.einsum("ij,ij->i", c2 - c1[j], nmatch)
 
@@ -762,8 +787,12 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             bb2, bb1 = bb1, max_bb
 
         # ---- final-iteration VCM, from PRE-transform stable centroids
-        #      (Registration.cpp:957-961) ----
-        if to_stage3 or iteration >= max_outer:
+        #      (Registration.cpp:957-961).  Skipped when the robust
+        #      refinement below recomputes it from its own rows (the
+        #      refine supersedes this VCM whenever it succeeds; on its
+        #      rare degenerate bail-out the fallback below recomputes). --
+        if (to_stage3 or iteration >= max_outer) \
+                and not (cfg.robust_refine and to_stage3):
             with gphase("core.vcm"):
                 # one batched fetch: five np.asarray calls each pay a
                 # tunnel round-trip
@@ -798,12 +827,18 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
             (ct1, n1, ct1_mask, ct2, stable))
         with gphase("core.refine"):
             t_corr, keep = None, None
+            vcm_refined = None
             if cfg.robust_refine:
                 rr = _robust_refine(ct1h, n1h, m1h, ct2h, stableh,
                                     p1, p2,
                                     min_keep=cfg.min_stable_patches)
                 if rr is not None:
-                    t_corr, keep = rr
+                    t_corr, keep, vcm_refined, sigma0_sq = rr
+                else:
+                    # refine bailed out (degenerate); recover the
+                    # reference VCM the loop skipped
+                    vcm, _, sigma0_sq = compute_vcm(ct1h, n1h, m1h,
+                                                    ct2h, stableh)
             elif cfg.change_screen:
                 keep = _change_screen(
                     ct1h, n1h, m1h, ct2h, stableh, patches1, patches2,
@@ -820,7 +855,11 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                     t_corr = np.asarray(t_icp_corr, dtype=np.float64)
             if t_corr is not None and keep is not None:
                 trans_mat = t_corr @ trans_mat
-                vcm, _, sigma0_sq = compute_vcm(ct1h, n1h, m1h, ct2h, keep)
+                if vcm_refined is not None:
+                    vcm = vcm_refined
+                else:
+                    vcm, _, sigma0_sq = compute_vcm(ct1h, n1h, m1h,
+                                                    ct2h, keep)
                 stable = jnp.asarray(keep)
                 n_excl = int(stableh.sum()) - int(keep.sum())
                 n_stable = int(keep.sum())

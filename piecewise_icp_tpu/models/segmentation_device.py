@@ -281,6 +281,147 @@ def segment_patches_device(points: np.ndarray, sv_resolution: float,
     return ps, nsv
 
 
+def preprocess_segment_device(down: np.ndarray, resolution: float,
+                              sor_k: int, sor_mult: float,
+                              sv_resolution: float, k: int, cfg,
+                              seed_origin: np.ndarray | None = None):
+    """SOR + full segmentation over ONE shared grid / slab join / upload.
+
+    The staged pipeline (preprocess_cloud then segment_patches_device)
+    builds two grids at nearly identical cell sizes and pays two slab
+    joins, two multi-MB uploads and an extra fetch per epoch — ~0.15-0.25 s
+    of a ~1.3 s campaign epoch, all tunnel/host overhead (r5 dispatch
+    profile).  Here ONE slab-padded self-join at the segmentation cell
+    size serves both: the SOR statistic is exact under ANY window h whose
+    (k+1)-th neighbour is covered (a larger h only reduces rescues), the
+    keep mask never leaves the device as anything but one small fetch,
+    and removed points are neutralised in-place to the 1e30 padding
+    sentinel so the fused segmentation program sees them as non-points.
+
+    ``down`` is the voxel-downsampled cloud in its INPUT frame; the
+    computation runs in a centred frame (f32 kernels at metre scale) and
+    results are translated back.  Returns (PatchSet in the input frame,
+    n_supervoxels, kept_points [input frame, input order]) or None when
+    this path cannot certify exactness (SOR rescue over budget) — the
+    caller then falls back to the staged pipeline.
+    """
+    from ..ops.grid_nn import slab_padded_self_join
+    from ..ops.nn_pallas import _KQT
+    from ..ops.preprocess import _SOR_RESCUE, _sor_mask_sorted
+    from ..ops.seg_pallas import _TPB
+    from ..utils.logging import gphase
+    from .segmentation import PatchSet
+
+    n = down.shape[0]
+    if n < 4096:
+        return None
+    k = min(k, max(n, 1))
+    shift0 = -down.astype(np.float64).mean(axis=0)
+    pts_c = (down.astype(np.float64) + shift0).astype(np.float32)
+    h = float(max(1.2 * np.sqrt(k / np.pi), 3.0) * resolution)
+
+    with gphase("prep.sor.grid"):
+        try:
+            grid = build_grid(pts_c, h)
+        except ValueError:
+            return None
+        sp = slab_padded_self_join(grid, lane=_KQT,
+                                   block=_KQT * _TPB, tile_multiple=_TPB)
+        _warn_uncovered_tiles(sp)
+
+    # one upload of the big arrays; reused by SOR AND segmentation
+    pts_j = jnp.asarray(sp.points)
+    mask_j = jnp.asarray(sp.real_mask)
+    ranges_j = jnp.asarray(sp.ranges)
+    covered_j = jnp.asarray(sp.covered)
+    origin_j = jnp.asarray(grid.origin)
+    dims_j = jnp.asarray(grid.dims, jnp.int32)
+    zero_starts = jnp.zeros((1,), jnp.int32)
+
+    with gphase("prep.sor.device"):
+        keep_j, n_bad = _sor_mask_sorted(
+            pts_j, mask_j, pts_j, zero_starts, origin_j, dims_j,
+            jnp.asarray(grid.h, jnp.float32), sor_k,
+            jnp.asarray(sor_mult, jnp.float32),
+            interpret=not jax.default_backend() == "tpu",
+            ranges=ranges_j, covered=covered_j)
+        keep_q = np.asarray(keep_j)
+        if int(n_bad) > min(_SOR_RESCUE, len(sp.real_mask)):
+            log.info("unified SOR: %d unresolved > budget; staged "
+                     "fallback", int(n_bad))
+            return None
+
+    with gphase("seg.fused"):
+        # seeds over the KEPT points (host; sorted-order indexing)
+        keep_sorted = keep_q[sp.pos_map]           # [n] sorted order
+        kept_sorted_idx = np.flatnonzero(keep_sorted)
+        so = None if seed_origin is None else (
+            np.asarray(seed_origin, np.float64) + shift0)
+        seeds_kept = propagate_seeds(grid.points[:n][keep_sorted],
+                                     sv_resolution, origin=so)
+        seeds_sorted = kept_sorted_idx[seeds_kept]
+        s_pad = _bucket(max(len(seeds_sorted), 1), base=256)
+        seeds_p = np.full(s_pad, -1, np.int32)
+        seeds_p[:len(seeds_sorted)] = sp.pos_map[seeds_sorted]
+
+        # neutralise removed points on device: queries masked out AND
+        # coordinates set to the padding sentinel so they cannot serve
+        # as neighbourhood/propagation candidates
+        pts2_j = jnp.where(keep_j[:, None], pts_j, jnp.float32(1e30))
+        mask2_j = mask_j & keep_j
+
+        (lab_sorted, valid, trim, ct, bp, nrm, std_bp, std_ct,
+         cnt) = jax.device_get(_seg_patches_fused(
+            pts2_j, mask2_j, zero_starts, origin_j, dims_j,
+            jnp.asarray(seeds_p), ranges_j, covered_j,
+            k=k, h=h, sv_resolution=float(sv_resolution),
+            n_queries=None,
+            s_pad=s_pad, min_pts=cfg.min_patch_points,
+            trim_sigma=cfg.patch_trim_sigma,
+            max_variation=cfg.max_variation,
+            min_planarity=cfg.min_planarity,
+            interpret=not jax.default_backend() == "tpu"))
+
+    # host post-processing in INPUT order, restricted to kept points
+    real = sp.real_mask
+    labels_in = np.full(n, -1, dtype=np.int32)
+    labels_in[sp.orig_idx[real]] = lab_sorted[:len(real)][real]
+    trim_in = np.zeros(n, dtype=bool)
+    trim_in[sp.orig_idx[real]] = trim[:len(real)][real]
+    kept_in = np.zeros(n, dtype=bool)
+    kept_in[sp.orig_idx[real]] = keep_q[real]
+
+    valid_pts = labels_in >= 0
+    uniq, first_idx = np.unique(labels_in[valid_pts], return_index=True)
+    nsv = len(uniq) + int((~valid_pts & kept_in).sum())
+    pos_orig = np.flatnonzero(valid_pts)[first_idx]
+    seeds_in_order = uniq[np.argsort(pos_orig)]
+    keep_lab = seeds_in_order[valid[seeds_in_order]]
+    remap = np.full(s_pad, -1, dtype=np.int32)
+    remap[keep_lab] = np.arange(len(keep_lab), dtype=np.int32)
+    final_labels = np.where(
+        trim_in & valid_pts,
+        remap[np.clip(labels_in, 0, s_pad - 1)], -1).astype(np.int32)
+
+    kept_pts_in = down[kept_in]                      # input frame+order
+    d = -shift0
+    f32 = np.float32
+    ps = PatchSet(
+        points=kept_pts_in.astype(f32),
+        labels=final_labels[kept_in],
+        centroids=(ct[keep_lab].astype(np.float64) + d).astype(f32),
+        boundary=(bp[keep_lab].astype(np.float64) + d).astype(f32),
+        normals=nrm[keep_lab],
+        std_bp=std_bp[keep_lab], std_ct=std_ct[keep_lab],
+        counts=cnt[keep_lab].astype(np.int32))
+    log.info("supervoxels generated: %d (cloud %d pts, %d kept)", nsv, n,
+             int(kept_in.sum()))
+    log.info("selected patches: %d / %d (%.1f%% of points)",
+             ps.num_patches, nsv,
+             100.0 * (ps.labels >= 0).sum() / max(len(ps.labels), 1))
+    return ps, nsv, kept_pts_in
+
+
 def segment_cloud_device(points: np.ndarray, sv_resolution: float,
                          k: int, resolution: float,
                          seed_origin: np.ndarray | None = None):
