@@ -33,6 +33,9 @@ def main() -> int:
                     help="pair mode: 0 direct, >0 fixed, <0 adaptive")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--kalman", action="store_true")
+    ap.add_argument("--refine", default=None,
+                    choices=["always", "auto", "off"])
+    ap.add_argument("--out-tag", default=None)
     args = ap.parse_args()
 
     from piecewise_icp_tpu.utils.cache import enable_compilation_cache
@@ -41,14 +44,19 @@ def main() -> int:
     from piecewise_icp_tpu.io import formats
     from piecewise_icp_tpu.models.four_d import run_4d
 
+    tag = args.out_tag or f"mode{args.mode}"
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           f"results_mode{args.mode}/")
+                           f"results_{tag}/")
+    extra = {}
+    if args.refine:
+        extra["robust_refine"] = (args.refine if args.refine != "off"
+                                  else False)
     cfg = PiecewiseICPConfig(
         path1=DATA, path2=out_dir,
         set_res_svsize=True, res1=0.005, res2=0.005,
         svsize1=0.05, svsize2=0.05,
         set_dtinit=True, dt_init=0.05, dt_min=0.004,
-        kalman_enabled=args.kalman)
+        kalman_enabled=args.kalman, **extra)
 
     t0 = time.perf_counter()
     ok = run_4d(cfg, start_epoch=0, epoch_num=args.epochs,

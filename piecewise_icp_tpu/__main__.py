@@ -77,7 +77,7 @@ def main(argv=None) -> int:
     overrides = {}
     if args.reference_semantics:
         overrides.update(change_screen=False, guard_enabled=False,
-                         robust_refine=False)
+                         robust_refine=False, warm_start_direct=False)
     if args.icp_variant:
         overrides["icp_variant"] = args.icp_variant
 

@@ -95,8 +95,11 @@ class PiecewiseICPConfig:
     # residual screening cannot find it (measured).  The redescending
     # M-estimator converges to the unchanged majority instead and
     # zero-weights the leaked patches; on change-free scenes it equals
-    # least squares to within noise (95% efficiency).
-    robust_refine: bool = True
+    # least squares to within noise (95% efficiency).  "always" | "auto"
+    # (only when the final stable ratio falls below guard_stable_ratio —
+    # the suspect pairs where leak is plausible) | "off" (True/False
+    # accepted as always/off).
+    robust_refine: object = "auto"
     # Sign-coherence change screen: the r5 first attempt at the same
     # problem (spatially-averaged standardized residual threshold).
     # Measured nearly uncorrelated with true change on the hard pairs
@@ -115,6 +118,13 @@ class PiecewiseICPConfig:
     guard_enabled: bool = True
     guard_stable_ratio: float = 0.35
     guard_draws: int = 9             # total draws on a flagged pair
+    # Warm-start direct-to-reference pairs with the previous epoch's
+    # composed estimate (beyond-reference): far-epoch direct pairs are
+    # bistable under large misalignment for the reference too (its own
+    # golden worst case is 764 mgon); starting the solve from the chain
+    # guess keeps it in the right basin while still registering the raw
+    # pair.  Disabled by --reference-semantics.
+    warm_start_direct: bool = True
 
     # ---- 4D orchestration ----
     epoch_prefix: str = "Epoch_"   # timestamp prefix (CommonFunc.cpp:191)

@@ -273,6 +273,7 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
     prefetch_pool = ThreadPoolExecutor(max_workers=1)
     pending: Dict[int, object] = {}
 
+    prev_direct_tm: Optional[np.ndarray] = None
     for i in range(start_epoch, epoch_num - 1):
         step = i - start_epoch + 1
         ref_idx = _ref_of(i)
@@ -287,6 +288,8 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
             vcm_list.append(d["vcm"])
             if bool(d.get("failed", False)):
                 failed.append(step)
+            else:
+                prev_direct_tm = d["tm"]
             continue
         if _owner(step) != shard_index:
             tm_list.append(None)
@@ -319,13 +322,22 @@ def run_4d(cfg: PiecewiseICPConfig, start_epoch: int, epoch_num: int,
                         pending[idx] = prefetch_pool.submit(
                             prepare_target, _load_cloud_cached(files[idx]),
                             cfg, cfg.sor_std_mult_4d)
+            # chain warm start for direct-to-reference pairs: epoch i+1
+            # sits next to epoch i, so the previous direct estimate is a
+            # near-perfect initial guess for a pair whose raw
+            # misalignment would otherwise be basin-ambiguous
+            t0_init = (prev_direct_tm
+                       if pair_mode == 0 and cfg.warm_start_direct
+                       else None)
             with timer.phase("pair", step=step):
                 result = register_pair(None, None, cfg,
                                        sor_mult=cfg.sor_std_mult_4d,
                                        target_state=epoch_states[ref_idx],
                                        source_state=epoch_states[i + 1],
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       initial_transform=t0_init)
             tm, vcm, was_failed = result.trans_mat, result.vcm, False
+            prev_direct_tm = tm
             prefix = os.path.join(out_folder, f"{times[i + 1]}_{mode_name}")
             write_pair_report(prefix, result)
         except PwICPError as e:

@@ -149,7 +149,8 @@ def register_pair(points1: Optional[np.ndarray],
                   target_state: Optional[TargetState] = None,
                   source_state: Optional[TargetState] = None,
                   mesh=None,
-                  lattice_offset: np.ndarray | None = None
+                  lattice_offset: np.ndarray | None = None,
+                  initial_transform: np.ndarray | None = None
                   ) -> RegistrationOutput:
     """Register cloud2 onto cloud1 (raw input clouds, original frame).
 
@@ -219,6 +220,21 @@ def register_pair(points1: Optional[np.ndarray],
              len(red2), len(target_state.reduced_points),
              target_state.patches.num_patches)
 
+    # ---- warm start (beyond-reference; the direct-to-reference mode's
+    #      far pairs are bistable under large misalignment for BOTH
+    #      implementations — a composed-chain initial guess keeps the
+    #      solve in the right basin; the estimate still registers the
+    #      raw pair, the guess only moves the starting point) ----
+    t_init = np.eye(4)
+    if initial_transform is not None:
+        t_init = np.asarray(initial_transform, dtype=np.float64)
+        s0 = translation_matrix(shift)
+        t_init_red = s0 @ t_init @ translation_matrix(-shift)
+        red2 = apply_transform_np(red2.astype(np.float64),
+                                  t_init_red).astype(np.float32)
+        if patches2 is not None:
+            patches2 = patches2.transformed(t_init_red)
+
     def _core_run(tstate: TargetState, p2, off):
         with timer.phase("core"):
             c = piecewise_icp(tstate.reduced_points, red2, res1, res2, cfg,
@@ -248,7 +264,8 @@ def register_pair(points1: Optional[np.ndarray],
         sv1 = (cfg.svsize1 if cfg.set_res_svsize
                else res1 * cfg.sv_size_res_mult)
         draws = [(core, trans_final)]
-        for d in range(cfg.guard_draws - 1):
+
+        def _one_draw(d: int):
             # deterministic low-discrepancy lattice phases (golden-ratio
             # sequence): arbitrary draw counts without repeats
             off = np.asarray([((d + 1) * 0.381966) % 1.0,
@@ -260,6 +277,32 @@ def register_pair(points1: Optional[np.ndarray],
                 draws.append(_core_run(ts_d, None, off))
             except PwICPError as e:
                 log.info("guard draw %d degenerate (%s) — skipped", d, e)
+
+        # sequential escalation: ONE probe draw first.  A low stable
+        # ratio alone is scene-dependent (a rigid scene with modest
+        # patch yield fires it on every pair); what actually warrants
+        # the expensive ensemble is DRAW SENSITIVITY, measured directly:
+        # escalate only when the probe disagrees with the first draw
+        # beyond their own VCM prediction.
+        _one_draw(0)
+        if len(draws) > 1:
+            p0 = np.concatenate([matrix_to_angles(draws[0][1]),
+                                 draws[0][1][:3, 3]])
+            p1_ = np.concatenate([matrix_to_angles(draws[1][1]),
+                                  draws[1][1][:3, 3]])
+            se2 = (np.diag(np.asarray(draws[0][0].vcm))
+                   + np.diag(np.asarray(draws[1][0].vcm)))
+            z_dis = float(np.max(np.abs(p0 - p1_)
+                                 / np.sqrt(np.maximum(se2, 1e-24))))
+            if z_dis > 3.0:
+                log.info("acceptance guard: draw disagreement %.1f sigma "
+                         "— escalating to %d draws", z_dis,
+                         cfg.guard_draws)
+                for d in range(1, cfg.guard_draws - 1):
+                    _one_draw(d)
+            else:
+                log.info("acceptance guard: draws agree (%.1f sigma) — "
+                         "fusing the probe pair only", z_dis)
         if len(draws) > 1:
             # Combine: GLS (precision-weighted) fusion of the THREE
             # lowest-sigma0 draws.  sigma0 (the a-posteriori unit-weight
@@ -301,6 +344,11 @@ def register_pair(points1: Optional[np.ndarray],
                      spread[:3].max() * ARC_TO_MGON,
                      1e3 * spread[3:].max())
 
+    if initial_transform is not None:
+        # estimated transform acts on the warm-started cloud; compose the
+        # guess back in (the LSQ perturbation is a LEFT twist, so the
+        # reported VCM is unchanged by this right-composition)
+        trans_final = trans_final @ t_init
     params = matrix_to_params_gon(trans_final)
     if profile_dir:
         import jax as _jax

@@ -791,8 +791,12 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         #      refinement below recomputes it from its own rows (the
         #      refine supersedes this VCM whenever it succeeds; on its
         #      rare degenerate bail-out the fallback below recomputes). --
+        _refine_will_run = (
+            cfg.robust_refine in (True, "always")
+            or (cfg.robust_refine == "auto"
+                and stable_ratio < cfg.guard_stable_ratio))
         if (to_stage3 or iteration >= max_outer) \
-                and not (cfg.robust_refine and to_stage3):
+                and not (_refine_will_run and to_stage3):
             with gphase("core.vcm"):
                 # one batched fetch: five np.asarray calls each pay a
                 # tunnel round-trip
@@ -822,13 +826,17 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     #      biases the final least-squares solve; re-estimate it robustly
     #      (Tukey IRLS) so the leaked patches are zero-weighted, then
     #      recompute the VCM on the surviving set. ----
-    if (cfg.robust_refine or cfg.change_screen) and to_stage3:
+    rr_mode = cfg.robust_refine
+    do_refine = (rr_mode in (True, "always")
+                 or (rr_mode == "auto"
+                     and stable_ratio < cfg.guard_stable_ratio))
+    if (do_refine or cfg.change_screen) and to_stage3:
         ct1h, n1h, m1h, ct2h, stableh = jax.device_get(
             (ct1, n1, ct1_mask, ct2, stable))
         with gphase("core.refine"):
             t_corr, keep = None, None
             vcm_refined = None
-            if cfg.robust_refine:
+            if do_refine:
                 rr = _robust_refine(ct1h, n1h, m1h, ct2h, stableh,
                                     p1, p2,
                                     min_keep=cfg.min_stable_patches)

@@ -84,6 +84,28 @@ class PatchSet:
             normals=self.normals, std_bp=self.std_bp, std_ct=self.std_ct,
             counts=self.counts)
 
+    def transformed(self, t: np.ndarray) -> "PatchSet":
+        """Patch decomposition under a rigid transform (warm-start path:
+        membership/STDs are invariant, geometry maps, normals rotate)."""
+        from ..ops.transform import apply_transform_np
+
+        t = np.asarray(t, dtype=np.float64)
+        f32 = np.float32
+        p = self.boundary.shape[0]
+        return PatchSet(
+            points=apply_transform_np(
+                self.points.astype(np.float64), t).astype(f32),
+            labels=self.labels,
+            centroids=apply_transform_np(
+                self.centroids.astype(np.float64), t).astype(f32),
+            boundary=apply_transform_np(
+                self.boundary.reshape(-1, 3).astype(np.float64),
+                t).astype(f32).reshape(p, 6, 3),
+            normals=(self.normals.astype(np.float64)
+                     @ t[:3, :3].T).astype(f32),
+            std_bp=self.std_bp, std_ct=self.std_ct,
+            counts=self.counts)
+
 
 def estimate_normals(points: np.ndarray, neighbor_idx: np.ndarray
                      ) -> np.ndarray:
