@@ -118,6 +118,7 @@ class PiecewiseICPConfig:
     guard_enabled: bool = True
     guard_stable_ratio: float = 0.35
     guard_draws: int = 9             # total draws on a flagged pair
+    guard_escalate_z: float = 2.0    # probe-disagreement escalation [sigma]
     # Warm-start direct-to-reference pairs with the previous epoch's
     # composed estimate (beyond-reference): far-epoch direct pairs are
     # bistable under large misalignment for the reference too (its own

@@ -294,7 +294,11 @@ def register_pair(points1: Optional[np.ndarray],
                    + np.diag(np.asarray(draws[1][0].vcm)))
             z_dis = float(np.max(np.abs(p0 - p1_)
                                  / np.sqrt(np.maximum(se2, 1e-24))))
-            if z_dis > 3.0:
+            # the formal VCMs understate true error, so the threshold
+            # runs hot: 2.0 keeps rigid scenes on the cheap path
+            # (measured z ~ 0.8-1.3) while the moderately-hard pairs
+            # (z ~ 2-3) get the full ensemble
+            if z_dis > cfg.guard_escalate_z:
                 log.info("acceptance guard: draw disagreement %.1f sigma "
                          "— escalating to %d draws", z_dis,
                          cfg.guard_draws)

@@ -461,28 +461,59 @@ def _robust_refine(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
 
     keep_local = w > 0.05          # Tukey zero-weight = rejected
     n_keep = int(keep_local.sum())
-    if n_keep < max(min_keep, int(0.3 * ns)):
-        return None
-    keep = stableh.copy()
-    keep[s_idx[~keep_local]] = False
 
-    # VCM directly from the final rows on the surviving set (reference
-    # formula, Registration.cpp:1322-1335) — saves the separate
-    # compute_vcm device dispatch + fetch the loop used to pay
-    a_k = np.column_stack([
+    # VCMs directly from the final rows (reference formula,
+    # Registration.cpp:1322-1335) — saves the separate compute_vcm device
+    # dispatch + fetch the loop used to pay.  Both the SCREENED (refine
+    # accepted) and UNSCREENED (reference-semantics fallback) variants
+    # come from the same row set.
+    a_f = np.column_stack([
         nrm[:, 2] * q[:, 1] - nrm[:, 1] * q[:, 2],
         nrm[:, 0] * q[:, 2] - nrm[:, 2] * q[:, 0],
         nrm[:, 1] * q[:, 0] - nrm[:, 0] * q[:, 1],
-        nrm[:, 0], nrm[:, 1], nrm[:, 2]])[keep_local]
-    r_k = np.einsum("ij,ij->i", nrm, p - q)[keep_local]
-    ata = a_k.T @ a_k
-    if abs(np.linalg.det(ata)) < 1e-9:
-        log.warning("VCM normal matrix is near-singular")
-    qxx = np.linalg.inv(ata)
-    x_k = qxx @ (a_k.T @ r_k)
-    v = a_k @ x_k - r_k
-    sigma0_sq = float(v @ v) / max(n_keep - 6, 1)
-    return t_total, keep, sigma0_sq * qxx, sigma0_sq
+        nrm[:, 0], nrm[:, 1], nrm[:, 2]])
+    r_f = np.einsum("ij,ij->i", nrm, p - q)
+
+    def _vcm_of(sel: np.ndarray):
+        a_k, r_k = a_f[sel], r_f[sel]
+        ata = a_k.T @ a_k
+        if abs(np.linalg.det(ata)) < 1e-9:
+            log.warning("VCM normal matrix is near-singular")
+            return None, None
+        qxx = np.linalg.inv(ata)
+        x_k = qxx @ (a_k.T @ r_k)
+        v = a_k @ x_k - r_k
+        s0 = float(v @ v) / max(int(sel.sum()) - 6, 1)
+        return s0 * qxx, s0
+
+    # unscreened VCM of the pre-refine state: rows at the pre-refine
+    # geometry (the reference computes its VCM there too)
+    q0 = c2
+    a_0 = np.column_stack([
+        nrm[:, 2] * q0[:, 1] - nrm[:, 1] * q0[:, 2],
+        nrm[:, 0] * q0[:, 2] - nrm[:, 2] * q0[:, 0],
+        nrm[:, 1] * q0[:, 0] - nrm[:, 0] * q0[:, 1],
+        nrm[:, 0], nrm[:, 1], nrm[:, 2]])
+    r_0 = np.einsum("ij,ij->i", nrm, p - q0)
+    ata0 = a_0.T @ a_0
+    try:
+        qxx0 = np.linalg.inv(ata0)
+    except np.linalg.LinAlgError:
+        return None
+    x0 = qxx0 @ (a_0.T @ r_0)
+    v0 = a_0 @ x0 - r_0
+    s0_all = float(v0 @ v0) / max(ns - 6, 1)
+    vcm_all = s0_all * qxx0
+
+    if n_keep < max(min_keep, int(0.3 * ns)):
+        # degenerate screen: no correction, reference-semantics VCM only
+        return None, None, None, None, vcm_all, s0_all
+    keep = stableh.copy()
+    keep[s_idx[~keep_local]] = False
+    vcm_k, s0_k = _vcm_of(keep_local)
+    if vcm_k is None:
+        return None, None, None, None, vcm_all, s0_all
+    return t_total, keep, vcm_k, s0_k, vcm_all, s0_all
 
 
 def _change_screen(ct1h: np.ndarray, n1h: np.ndarray, m1h: np.ndarray,
@@ -791,10 +822,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
         #      refinement below recomputes it from its own rows (the
         #      refine supersedes this VCM whenever it succeeds; on its
         #      rare degenerate bail-out the fallback below recomputes). --
-        _refine_will_run = (
-            cfg.robust_refine in (True, "always")
-            or (cfg.robust_refine == "auto"
-                and stable_ratio < cfg.guard_stable_ratio))
+        _refine_will_run = cfg.robust_refine in (True, "always", "auto")
         if (to_stage3 or iteration >= max_outer) \
                 and not (_refine_will_run and to_stage3):
             with gphase("core.vcm"):
@@ -827,9 +855,7 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
     #      (Tukey IRLS) so the leaked patches are zero-weighted, then
     #      recompute the VCM on the surviving set. ----
     rr_mode = cfg.robust_refine
-    do_refine = (rr_mode in (True, "always")
-                 or (rr_mode == "auto"
-                     and stable_ratio < cfg.guard_stable_ratio))
+    do_refine = rr_mode in (True, "always", "auto")
     if (do_refine or cfg.change_screen) and to_stage3:
         ct1h, n1h, m1h, ct2h, stableh = jax.device_get(
             (ct1, n1, ct1_mask, ct2, stable))
@@ -840,13 +866,41 @@ def piecewise_icp(cloud1: np.ndarray, cloud2: np.ndarray,
                 rr = _robust_refine(ct1h, n1h, m1h, ct2h, stableh,
                                     p1, p2,
                                     min_keep=cfg.min_stable_patches)
-                if rr is not None:
-                    t_corr, keep, vcm_refined, sigma0_sq = rr
-                else:
+                if rr is None:
                     # refine bailed out (degenerate); recover the
                     # reference VCM the loop skipped
                     vcm, _, sigma0_sq = compute_vcm(ct1h, n1h, m1h,
                                                     ct2h, stableh)
+                else:
+                    (t_c, kp, vcm_k, s0_k, vcm_all, s0_all) = rr
+                    accept = t_c is not None
+                    if accept and rr_mode == "auto":
+                        # accept only a SIGNIFICANT correction: z of the
+                        # correction params against the refined VCM, or
+                        # a guard-flagged (suspect) pair.  Healthy pairs
+                        # keep exact reference-semantics estimates (the
+                        # always-on refine's sub-sigma nudges measurably
+                        # accumulated through campaign chaining), while
+                        # compact strong change regions — the rockfall
+                        # scar — still trigger (z >> 2 there).
+                        from ..ops.transform import matrix_to_angles
+                        dp = np.concatenate([matrix_to_angles(t_c),
+                                             t_c[:3, 3]])
+                        z_corr = float(np.max(
+                            np.abs(dp) / np.sqrt(np.maximum(
+                                np.diag(vcm_k), 1e-24))))
+                        accept = (z_corr > 2.0
+                                  or stable_ratio < cfg.guard_stable_ratio)
+                        if not accept:
+                            log.info("robust refine: correction not "
+                                     "significant (z=%.1f) — keeping the "
+                                     "reference-semantics solution",
+                                     z_corr)
+                    if accept:
+                        t_corr, keep = t_c, kp
+                        vcm_refined, sigma0_sq = vcm_k, s0_k
+                    else:
+                        vcm, sigma0_sq = vcm_all, s0_all
             elif cfg.change_screen:
                 keep = _change_screen(
                     ct1h, n1h, m1h, ct2h, stableh, patches1, patches2,
