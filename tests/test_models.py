@@ -536,3 +536,116 @@ class TestChainingFixedStride:
         np.testing.assert_allclose(out_t[4], ref, atol=1e-12)
         np.testing.assert_allclose(out_v[4], vcms[0] + vcms[2] + vcms[4],
                                    atol=1e-15)
+
+
+class TestRobustRefine:
+    def _scene(self, rng, n=400, leak_frac=0.15, leak_mm=2e-3):
+        """Plane-ish patch centroids; a coherent sub-LoD 'changed' block
+        offset along the normals (the leak the DT classification cannot
+        exclude)."""
+        from piecewise_icp_tpu.models.piecewise_icp import _robust_refine
+
+        xy = rng.uniform(0, 2, size=(n, 2))
+        # curved surface -> varied normals (a pure plane leaves the 6x6
+        # normal equations rank-deficient and the refine bails out)
+        z = 0.15 * np.sin(2 * xy[:, 0]) * np.cos(1.5 * xy[:, 1])
+        ct1 = np.column_stack([xy, z]).astype(np.float32)
+        gx = 0.3 * np.cos(2 * xy[:, 0]) * np.cos(1.5 * xy[:, 1])
+        gy = -0.225 * np.sin(2 * xy[:, 0]) * np.sin(1.5 * xy[:, 1])
+        n1 = np.column_stack([-gx, -gy, np.ones(n)])
+        n1 = (n1 / np.linalg.norm(n1, axis=1, keepdims=True)).astype(
+            np.float32)
+        ct2 = ct1 + rng.normal(scale=2e-4, size=(n, 3)).astype(np.float32)
+        n_leak = int(n * leak_frac)
+        leak = np.zeros(n, bool)
+        leak[rng.choice(n, n_leak, replace=False)] = True
+        ct2[leak] += leak_mm * n1[leak]      # offset along the normals
+        mask = np.ones(n, bool)
+        return _robust_refine, ct1, n1, mask, ct2, mask.copy(), leak
+
+    def test_rejects_coherent_leak_and_corrects(self, rng):
+        rr, ct1, n1, m1, ct2, stable, leak = self._scene(rng)
+        out = rr(ct1, n1, m1, ct2, stable, ct1.shape[0], ct2.shape[0],
+                 min_keep=4)
+        t_corr, keep, vcm_k, s0_k, vcm_all, s0_all = out
+        assert t_corr is not None
+        rejected = stable & ~keep
+        # most rejections should be actual leak patches
+        assert rejected.sum() > 0.5 * leak.sum()
+        assert (rejected & leak).sum() > 0.7 * rejected.sum()
+        # the correction counteracts the absorbed leak: applying it to
+        # the contaminated LSQ state must REDUCE the clean-patch misfit
+        from piecewise_icp_tpu.ops.transform import apply_transform_np
+        clean = ~leak
+        d_before = np.abs(np.einsum(
+            "ij,ij->i", ct2[clean] - ct1[clean], n1[clean]))
+        ct2c = apply_transform_np(ct2.astype(np.float64), t_corr)
+        d_after = np.abs(np.einsum(
+            "ij,ij->i", ct2c[clean] - ct1[clean], n1[clean]))
+        assert d_after.mean() <= d_before.mean() + 1e-6
+        assert vcm_all.shape == (6, 6) and s0_all > 0
+
+    def test_clean_scene_is_near_identity(self, rng):
+        rr, ct1, n1, m1, ct2, stable, _ = self._scene(rng, leak_frac=0.0)
+        out = rr(ct1, n1, m1, ct2, stable, ct1.shape[0], ct2.shape[0],
+                 min_keep=4)
+        t_corr, keep, vcm_k, s0_k, vcm_all, s0_all = out
+        # 95%-efficiency estimator on clean data: sub-noise correction
+        assert abs(t_corr[2, 3]) < 1e-4
+        assert (stable & ~keep).sum() < 0.1 * stable.sum()
+
+
+class TestPatchSetTransformed:
+    def test_rigid_map_including_normals(self, rng):
+        from piecewise_icp_tpu.models.segmentation import PatchSet
+        from piecewise_icp_tpu.ops.transform import apply_transform_np, \
+            params_to_matrix
+
+        n, p = 50, 4
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        ct = rng.normal(size=(p, 3)).astype(np.float32)
+        bp = rng.normal(size=(p, 6, 3)).astype(np.float32)
+        nrm = rng.normal(size=(p, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        ps = PatchSet(points=pts, labels=np.zeros(n, np.int32),
+                      centroids=ct, boundary=bp,
+                      normals=nrm.astype(np.float32),
+                      std_bp=np.ones(p, np.float32),
+                      std_ct=np.ones(p, np.float32),
+                      counts=np.full(p, 10, np.int32))
+        t = params_to_matrix([0.3, -0.2, 0.5, 0.04, -0.02, 0.01])
+        out = ps.transformed(t)
+        np.testing.assert_allclose(
+            out.centroids, apply_transform_np(ct.astype(np.float64), t),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            out.boundary.reshape(-1, 3),
+            apply_transform_np(bp.reshape(-1, 3).astype(np.float64), t),
+            atol=1e-5)
+        # normals rotate (no translation), stay unit
+        np.testing.assert_allclose(out.normals, nrm @ t[:3, :3].T,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(out.normals, axis=1),
+                                   1.0, atol=1e-5)
+
+
+class TestWarmStart:
+    def test_large_offset_recovered_with_initial_transform(self, rng):
+        """A pair displaced far beyond DTinit fails (or lands in a wrong
+        basin) cold; with a chain-style initial guess the registration
+        recovers the exact transform and composes the guess back in."""
+        from piecewise_icp_tpu.models.pairwise import register_pair
+
+        params = np.array([0.002, -0.001, 0.002, 0.15, -0.12, 0.08])
+        c1, c2, t_true = make_pair(rng, params)   # 15 cm offsets
+        cfg = small_test_config()
+        # registration returns ~t_true^-1 (see test_recovers_known_transform)
+        guess = np.linalg.inv(np.asarray(t_true, np.float64))
+        guess[:3, 3] += rng.normal(scale=2e-3, size=3)  # imperfect guess
+        out = register_pair(c1, c2, cfg, initial_transform=guess)
+        m = out.trans_mat @ np.asarray(t_true, np.float64)
+        # recovered transform within mm/mgon of truth despite the 15 cm
+        # raw displacement
+        disp = np.linalg.norm(m[:3, 3])
+        assert disp < 5e-3
+        assert abs(np.trace(m[:3, :3]) - 3.0) < 1e-5
