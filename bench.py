@@ -362,7 +362,7 @@ def main() -> int:
     # chain 4 dependent solves inside ONE jit so the measurement sits
     # well above the dispatch floor (a single converged solve can be
     # floor-dominated, which made the r5a/r5b captures differ 8x)
-    _ICP_CHAIN = 4
+    _ICP_CHAIN = 32
 
     @jax.jit
     def f_icp_chain(s):
@@ -377,8 +377,11 @@ def main() -> int:
     its = jax.block_until_ready(f_icp_chain(ct2_j))
     icp_iters_micro = int(np.sum(np.asarray(its)))
     t_icp_micro = t_kernel(lambda: f_icp_chain(ct2_j))
+    # never subtract the floor below 25% of the measurement — on a
+    # degraded session the floor estimate itself is noisy and a tiny
+    # denominator produced absurd rates
     icp_rate = (icp_iters_micro
-                / max(t_icp_micro - dispatch_floor, 1e-9))
+                / max(t_icp_micro - dispatch_floor, 0.25 * t_icp_micro))
     icp_iters = int(result.core.total_icp_iters)
 
     eps = 1.0 / warm
@@ -400,7 +403,7 @@ def main() -> int:
                              if cache_cold is not None else None),
         "icp_iters_per_s_per_chip": round(icp_rate, 1),
         "icp_metric_note": ("r5 redefinition: standalone p2pl microbench "
-                            f"({icp_iters_micro} iters over 4 chained solves), floor "
+                            f"({icp_iters_micro} iters over 32 chained solves), floor "
                             "subtracted — round-comparable from r5 on"),
         "icp_iters_warm_pair": icp_iters,
         "variance": {
