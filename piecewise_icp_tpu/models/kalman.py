@@ -97,8 +97,16 @@ def kalman_smooth_transforms(trans_mats: Sequence[np.ndarray],
             # ones where smoothing could only lag, never help.
             autocov = np.mean(d[1:] * d[:-1], axis=0)
             phi = -autocov / np.maximum(msq, 1e-300)
-            phi_pool = max(float(np.mean(phi))
-                           - 1.0 / np.sqrt(6.0 * (n - 2)), 0.0)
+            se_pool = 1.0 / np.sqrt(6.0 * (n - 2))
+            phi_raw = float(np.mean(phi))
+            if phi_raw > 0.5 - se_pool:
+                # whiteness CONFIRMED (phi within one pooled se of the
+                # pure-white value 0.5): no shrinkage — the quasi-static
+                # averaging gain should not pay for estimator noise the
+                # data has already ruled out
+                phi_pool = min(phi_raw, 0.5)
+            else:
+                phi_pool = max(phi_raw - se_pool, 0.0)
             # a component whose own increments show no anticorrelation
             # (it moves) must not inherit the pooled whiteness of the
             # static components — but grant each component up to its own
